@@ -1,0 +1,120 @@
+r"""Batched composite-pulse propagators (XLA paths).
+
+Replaces the reference's ``batched_unitary_generator``
+(train/unitary_single_qubit_gate/universal_single_qubit_SCORE.py:77-145 — tree
+product — and train/GRAPE/grape_train.py:78-138 — sequential loop) with
+quaternion scans.  Three equivalent reductions are provided; all return the
+composed propagator ``U_L ⋯ U_2 U_1`` as a quaternion:
+
+* :func:`propagate_scan` — ``lax.scan`` over the segment axis (default; the
+  body is all-elementwise so XLA fuses it into one loop over registers).
+* :func:`propagate_assoc` — ``lax.associative_scan`` (log-depth, the TPU
+  analog of the reference's pairwise product tree).
+* :func:`propagate_unrolled` — static Python unroll (useful for short L and
+  inside Pallas).
+
+The Monte-Carlo–fused API :func:`propagate_mc` broadcasts one pulse table
+across M disorder samples *without materializing the repeat* — the TPU-first
+replacement for the reference's ``repeat_interleave`` fusion
+(model/universal_model_trainer.py:80-84).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .su2 import quat_identity, quat_multiply, quat_to_su2, segment_quat
+
+__all__ = [
+    "propagate_scan",
+    "propagate_assoc",
+    "propagate_unrolled",
+    "propagate_mc",
+    "unitary_generator",
+]
+
+
+def _segment_quats(pulses: jax.Array, delta: jax.Array, epsilon: jax.Array) -> jax.Array:
+    """Per-segment quaternions ``(..., L, 4)`` from pulses ``(..., L, 2)``."""
+    phi = pulses[..., 0]
+    tau = pulses[..., 1]
+    return segment_quat(phi, tau, delta[..., None], epsilon[..., None])
+
+
+def propagate_scan(pulses: jax.Array, delta: jax.Array, epsilon: jax.Array,
+                   unroll: int = 4) -> jax.Array:
+    """Compose ``U_L ⋯ U_1`` via ``lax.scan`` over the segment axis.
+
+    Args:
+      pulses: ``(..., L, 2)`` — last axis ``(φ, τ)``.
+      delta / epsilon: ``(...,)`` static disorder per batch element.
+    Returns:
+      ``(..., 4)`` quaternion of the composed unitary.
+    """
+    segs = _segment_quats(pulses, delta, epsilon)  # (..., L, 4)
+    segs = jnp.moveaxis(segs, -2, 0)  # (L, ..., 4)
+
+    def body(carry, q):
+        return quat_multiply(q, carry), None
+
+    init = quat_identity(segs.shape[1:-1], dtype=segs.dtype)
+    out, _ = lax.scan(body, init, segs, unroll=unroll)
+    return out
+
+
+def propagate_assoc(pulses: jax.Array, delta: jax.Array, epsilon: jax.Array) -> jax.Array:
+    """Compose via ``lax.associative_scan`` (log-depth product tree).
+
+    TPU analog of the reference's pairwise tree (SCORE.py:130-142).
+    """
+    segs = _segment_quats(pulses, delta, epsilon)  # (..., L, 4)
+    segs = jnp.moveaxis(segs, -2, 0)  # (L, ..., 4)
+    # running products R_k = U_k ⋯ U_1: combine(a, b) = b ∘ a in unitary order
+    prods = lax.associative_scan(lambda a, b: quat_multiply(b, a), segs, axis=0)
+    return prods[-1]
+
+
+def propagate_unrolled(pulses: jax.Array, delta: jax.Array, epsilon: jax.Array) -> jax.Array:
+    """Compose with a static Python loop (L must be a static shape)."""
+    segs = _segment_quats(pulses, delta, epsilon)
+    L = segs.shape[-2]
+    out = segs[..., 0, :]
+    for k in range(1, L):
+        out = quat_multiply(segs[..., k, :], out)
+    return out
+
+
+def propagate_mc(pulses: jax.Array, delta: jax.Array, epsilon: jax.Array,
+                 method: str = "scan") -> jax.Array:
+    """Monte-Carlo–fused propagation: one pulse table per target, M samples.
+
+    Args:
+      pulses: ``(B, L, 2)``.
+      delta / epsilon: ``(B, M)`` disorder draws.
+    Returns:
+      ``(B, M, 4)`` quaternions.
+
+    The pulse table broadcasts across the M axis inside the computation —
+    no ``repeat_interleave`` materialization (reference trainer.py:80-84).
+    """
+    fn = {"scan": propagate_scan, "assoc": propagate_assoc,
+          "unrolled": propagate_unrolled}[method]
+    return fn(pulses[:, None, :, :], delta, epsilon)
+
+
+def unitary_generator(pulses: jax.Array, error: jax.Array,
+                      method: str = "scan") -> jax.Array:
+    """Drop-in analog of the reference ``batched_unitary_generator`` contract.
+
+    Args:
+      pulses: ``(B, L, 2)``.
+      error: ``(2, B)`` — row 0 = δ (off-resonant), row 1 = ε (pulse-length).
+    Returns:
+      ``(B, 2, 2)`` complex64 unitaries (reference SCORE.py:77-145).
+    """
+    fn = {"scan": propagate_scan, "assoc": propagate_assoc,
+          "unrolled": propagate_unrolled}[method]
+    q = fn(pulses, error[0], error[1])
+    return quat_to_su2(q)
