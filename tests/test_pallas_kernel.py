@@ -1,0 +1,76 @@
+"""Pallas propagator kernel vs the XLA reference path (interpret mode on CPU)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from universal_quantum_optimal_control_tpu.core import propagate as xla_prop
+from universal_quantum_optimal_control_tpu.core import su2
+from universal_quantum_optimal_control_tpu.ops import propagate_pallas as pk
+
+
+def make_inputs(B=3, L=20, M=256, seed=0):
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    phi = jax.random.uniform(k1, (B, L), minval=-np.pi, maxval=np.pi)
+    tau = jax.random.uniform(k2, (B, L), minval=0.05, maxval=0.5)
+    pulses = jnp.stack([phi, tau], axis=-1)
+    delta = jax.random.normal(k3, (B, M))
+    eps = jax.random.normal(k4, (B, M)) * 0.05
+    return pulses, delta, eps
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def test_propagate_mc_pallas_matches_xla():
+    pulses, delta, eps = make_inputs()
+    q_pallas = pk.propagate_mc_pallas(pulses, delta, eps)
+    q_xla = xla_prop.propagate_mc(pulses, delta, eps)
+    np.testing.assert_allclose(np.asarray(q_pallas), np.asarray(q_xla), atol=1e-5)
+
+
+def test_mean_fidelity_pallas_matches_xla():
+    pulses, delta, eps = make_inputs(B=2, M=256, seed=1)
+    q_t = su2.quat_normalize(jax.random.normal(jax.random.PRNGKey(7), (2, 4)))
+    f_pallas = pk.mean_fidelity_pallas(pulses, q_t, delta, eps)
+    q = xla_prop.propagate_mc(pulses, delta, eps)
+    f_xla = jnp.mean(su2.quat_fidelity(q, q_t[:, None, :]), axis=1)
+    np.testing.assert_allclose(np.asarray(f_pallas), np.asarray(f_xla), atol=1e-5)
+
+
+def test_pallas_gradients_match_xla():
+    pulses, delta, eps = make_inputs(B=2, L=8, M=128, seed=2)
+    q_t = su2.quat_normalize(jax.random.normal(jax.random.PRNGKey(9), (2, 4)))
+
+    def loss_pallas(p):
+        return 1.0 - jnp.mean(pk.mean_fidelity_pallas(p, q_t, delta, eps))
+
+    def loss_xla(p):
+        q = xla_prop.propagate_mc(p, delta, eps)
+        return 1.0 - jnp.mean(su2.quat_fidelity(q, q_t[:, None, :]))
+
+    g_p = jax.grad(loss_pallas)(pulses)
+    g_x = jax.grad(loss_xla)(pulses)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=1e-5)
+
+
+def test_uneven_mc_rows_tile():
+    # rows = M/128 = 3 not divisible by default tile → tile shrink path
+    pulses, delta, eps = make_inputs(B=2, L=5, M=384, seed=3)
+    q_pallas = pk.propagate_mc_pallas(pulses, delta, eps)
+    q_xla = xla_prop.propagate_mc(pulses, delta, eps)
+    np.testing.assert_allclose(np.asarray(q_pallas), np.asarray(q_xla), atol=1e-5)
+
+
+def test_rejects_unaligned_mc():
+    pulses, delta, eps = make_inputs(B=1, L=4, M=256)
+    with pytest.raises(ValueError):
+        pk.propagate_mc_pallas(pulses, delta[:, :100], eps[:, :100])

@@ -36,21 +36,18 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core import propagate as xla_prop
 from ..core import su2
 
-__all__ = ["propagate_pallas", "propagate_mc_pallas", "mean_fidelity_pallas"]
+__all__ = ["propagate_mc_pallas", "mean_fidelity_pallas"]
 
 LANES = 128
 _DEF_ROWS = 256  # rows per tile; 256*128 samples * ~9 f32 arrays ≈ 1.2 MB VMEM
 
 
-def _pad_rows(n_rows: int, tile_rows: int) -> int:
-    return ((n_rows + tile_rows - 1) // tile_rows) * tile_rows
-
-
-def _segment_loop(phi_ref, tau_ref, delta, eps, L):
+def _segment_loop(phi_ref, tau_ref, b, delta, eps, L):
     """Shared kernel body: compose L segments over a (rows, 128) sample tile.
 
-    phi_ref/tau_ref hold the per-target pulse table with shape (1, L) blocks;
-    delta/eps are (rows, 128) arrays. Returns the 4 quaternion components.
+    phi_ref/tau_ref hold the FULL (B, L) pulse tables in SMEM (they are tiny);
+    ``b`` is the target index for this grid step.  delta/eps are (rows, 128)
+    sample arrays.  Returns the 4 quaternion components.
     """
     anorm2 = 1.0 + delta * delta
     anorm = jnp.sqrt(anorm2)
@@ -63,8 +60,8 @@ def _segment_loop(phi_ref, tau_ref, delta, eps, L):
     qz = jnp.zeros_like(delta)
 
     for k in range(L):  # static unroll: L is a compile-time constant
-        phi = phi_ref[0, k]
-        tau = tau_ref[0, k]
+        phi = phi_ref[b, k]
+        tau = tau_ref[b, k]
         half = tau * scale
         w = jnp.cos(half)
         s = jnp.sin(half) * inv_anorm
@@ -81,9 +78,10 @@ def _segment_loop(phi_ref, tau_ref, delta, eps, L):
 
 
 def _prop_kernel(phi_ref, tau_ref, delta_ref, eps_ref, out_ref, *, L):
+    b = pl.program_id(0)
     delta = delta_ref[0]
     eps = eps_ref[0]
-    qw, qx, qy, qz = _segment_loop(phi_ref, tau_ref, delta, eps, L)
+    qw, qx, qy, qz = _segment_loop(phi_ref, tau_ref, b, delta, eps, L)
     out_ref[0, 0] = qw
     out_ref[0, 1] = qx
     out_ref[0, 2] = qy
@@ -91,21 +89,22 @@ def _prop_kernel(phi_ref, tau_ref, delta_ref, eps_ref, out_ref, *, L):
 
 
 def _fid_kernel(phi_ref, tau_ref, qt_ref, delta_ref, eps_ref, sum_ref, *, L):
+    b = pl.program_id(0)
     delta = delta_ref[0]
     eps = eps_ref[0]
-    qw, qx, qy, qz = _segment_loop(phi_ref, tau_ref, delta, eps, L)
+    qw, qx, qy, qz = _segment_loop(phi_ref, tau_ref, b, delta, eps, L)
     # entanglement fidelity from quaternion inner product:
     # F = (4<q, qt>^2 + 2) / 6  (SCORE.py:168-183 in quaternion form)
-    inner = (qt_ref[0, 0] * qw + qt_ref[0, 1] * qx
-             + qt_ref[0, 2] * qy + qt_ref[0, 3] * qz)
+    inner = (qt_ref[b, 0] * qw + qt_ref[b, 1] * qx
+             + qt_ref[b, 2] * qy + qt_ref[b, 3] * qz)
     F = (4.0 * inner * inner + 2.0) / 6.0
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
-        sum_ref[0, 0] = 0.0
+        sum_ref[b, 0] = 0.0
 
-    sum_ref[0, 0] += jnp.sum(F)
+    sum_ref[b, 0] += jnp.sum(F)
 
 
 def _mc_grid(B: int, M: int, tile_rows: int) -> Tuple[int, int, int]:
@@ -134,8 +133,9 @@ def _propagate_mc_pallas_raw(pulses, delta, eps, tile_rows=_DEF_ROWS):
         functools.partial(_prop_kernel, L=L),
         grid=(B, ntiles),
         in_specs=[
-            pl.BlockSpec((1, L), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
+            # full (B, L) pulse tables live in SMEM (tiny); indexed by program_id
+            pl.BlockSpec((B, L), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, L), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tr, LANES), lambda b, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tr, LANES), lambda b, j: (b, j, 0),
@@ -178,26 +178,6 @@ def _bwd(res, g):
 propagate_mc_pallas.defvjp(_fwd, _bwd)
 
 
-def propagate_pallas(pulses: jax.Array, error: jax.Array) -> jax.Array:
-    """Flat-batch contract matching the reference ``batched_unitary_generator``:
-    ``pulses (B, L, 2)``, ``error (2, B)`` → complex ``(B, 2, 2)``.
-
-    The flat batch is treated as one target × B samples (B must be a multiple
-    of 128); use :func:`propagate_mc_pallas` for the structured (B, M) form.
-    """
-    B = pulses.shape[0]
-    # group identical-pulse rows is not assumed here: treat each row as its
-    # own target with M=128 lanes → requires reshape; for arbitrary flat
-    # batches fall back to XLA path when B is not lane-aligned.
-    if B % LANES != 0:
-        q = xla_prop.propagate_scan(pulses, error[0], error[1])
-        return su2.quat_to_su2(q)
-    # (B,) flat → (B/128, 128) pseudo-MC layout with per-sample pulses is not
-    # expressible in this kernel (pulses vary per lane); use XLA path.
-    q = xla_prop.propagate_scan(pulses, error[0], error[1])
-    return su2.quat_to_su2(q)
-
-
 @functools.partial(jax.jit, static_argnames=("tile_rows",))
 def _mean_fid_raw(pulses, q_target, delta, eps, tile_rows=_DEF_ROWS):
     B, L, _ = pulses.shape
@@ -212,16 +192,17 @@ def _mean_fid_raw(pulses, q_target, delta, eps, tile_rows=_DEF_ROWS):
         functools.partial(_fid_kernel, L=L),
         grid=(B, ntiles),
         in_specs=[
-            pl.BlockSpec((1, L), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, L), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, L), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 4), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tr, LANES), lambda b, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tr, LANES), lambda b, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda b, j: (b, 0),
-                               memory_space=pltpu.VMEM),
+        # scalar per-target reductions accumulate in a full (B, 1) SMEM block
+        out_specs=pl.BlockSpec((B, 1), lambda b, j: (0, 0),
+                               memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((B, 1), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=B * M * (L * 40 + 10), transcendentals=B * M * (L * 4 + 2),
