@@ -11,9 +11,9 @@ segments of a composite pulse sequence entirely in VMEM/registers:
   the chip instead of ``O(B·M)`` quaternions.
 
 Layout: the fused Monte-Carlo axis is reshaped to ``(rows, 128)`` so samples
-map onto VPU lanes; tiles of 256 rows (~8 × the 8-sublane register height,
-f32) are processed per grid step.  Pulses are broadcast per-target from SMEM
--prefetched... (actually via a (L, 2)-block in VMEM shared by the tile).
+map onto VPU lanes; tiles of 256 rows are processed per grid step.  The full
+``(B, L)`` pulse tables are tiny and live in SMEM, indexed by the target
+grid coordinate — one scalar broadcast per segment against the sample tile.
 
 The backward pass routes through the XLA reference implementation
 (:mod:`..core.propagate`) via ``jax.custom_vjp`` — correctness-identical, and
