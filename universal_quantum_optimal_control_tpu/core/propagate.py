@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .su2 import quat_identity, quat_multiply, quat_to_su2, segment_quat
+from .su2 import quat_multiply, quat_to_su2, segment_quat
 
 __all__ = [
     "propagate_scan",
@@ -59,7 +59,9 @@ def propagate_scan(pulses: jax.Array, delta: jax.Array, epsilon: jax.Array,
     def body(carry, q):
         return quat_multiply(q, carry), None
 
-    init = quat_identity(segs.shape[1:-1], dtype=segs.dtype)
+    # derive the identity carry from the data so it inherits device-varying
+    # type under shard_map (a plain quat_identity would be "unvarying")
+    init = jnp.zeros_like(segs[0]).at[..., 0].set(1.0)
     out, _ = lax.scan(body, init, segs, unroll=unroll)
     return out
 

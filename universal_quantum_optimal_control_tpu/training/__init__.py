@@ -1,0 +1,10 @@
+from . import checkpoint, metrics, trainer  # noqa: F401
+
+from .checkpoint import restore_checkpoint, save_checkpoint  # noqa: F401
+from .metrics import MetricsLogger  # noqa: F401
+from .trainer import (  # noqa: F401
+    CurriculumBand,
+    TrainConfig,
+    Trainer,
+    default_curriculum,
+)

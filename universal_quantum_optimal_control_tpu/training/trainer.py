@@ -1,0 +1,284 @@
+r"""Curriculum trainer — jitted train/eval steps, best-state tracking.
+
+TPU-native redesign of the reference ``UniversalModelTrainer``
+(model/universal_model_trainer.py:21-266):
+
+* strategy injection is kept as a typed recipe (model, disorder stds, loss,
+  propagator backend) but the step is ONE jitted function — forward, MC
+  disorder sampling, propagation, fidelity, loss, grad, clip, Adam — instead
+  of eager torch ops,
+* the Monte-Carlo axis broadcasts inside the propagator (no
+  ``repeat_interleave`` materialization — trainer.py:80-84),
+* curriculum walks disorder bands small → large, tracks the best parameters
+  by eval fidelity per band, reloads them before escalating, and checkpoints
+  per band (trainer.py:168-231 semantics),
+* optional mesh: batch sharded over ``data``, disorder over ``mc``,
+  reductions over ICI (absent in the reference — single device only),
+* "epoch" means a full pass over the training set (the reference calls one
+  minibatch an epoch — trainer.py:58; SURVEY.md quirks list).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh
+
+from ..core import objectives
+from ..core.errors import sample_ore_ple
+from ..parallel.mc_parallel import make_mean_fidelity
+from ..parallel.mesh import DATA_AXIS, MC_AXIS, replicated, shard_spec
+from .metrics import MetricsLogger
+
+__all__ = ["TrainConfig", "CurriculumBand", "Trainer", "default_curriculum"]
+
+LOSSES: Dict[str, Callable] = {
+    "sharp": objectives.sharp_loss,
+    "neg_log": objectives.negative_log_loss,
+    "infidelity": objectives.infidelity_loss,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class CurriculumBand:
+    """One disorder band (reference ``error_params_list`` entry —
+    SCORE.py:316: δ_std ∈ {0.4, 0.7, 1.0}, ε_std = 0.05)."""
+
+    delta_std: float
+    epsilon_std: float = 0.05
+
+
+def default_curriculum() -> List[CurriculumBand]:
+    return [CurriculumBand(d) for d in (0.4, 0.7, 1.0)]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    monte_carlo: int = 1000
+    batch_size: int = 200
+    epochs: int = 100
+    learning_rate: float = 3e-5       # reference trainer.py:46
+    grad_clip: float = 1.0            # reference trainer.py:91
+    loss: str = "sharp"
+    loss_tau_bar: float = 0.99
+    loss_k: float = 100.0
+    backend: str = "xla"              # "xla" | "pallas"
+    seed: int = 0
+
+
+class Trainer:
+    """Curriculum trainer over disorder bands.
+
+    Args:
+      model: linen module mapping rotation vectors → pulses.
+      config: hyperparameters.
+      mesh: optional ``(data, mc)`` mesh for multi-chip training.
+      base_pulse: optional finetune base pulse forwarded to the model.
+    """
+
+    def __init__(
+        self,
+        model: Any,
+        config: TrainConfig = TrainConfig(),
+        mesh: Optional[Mesh] = None,
+        base_pulse: Optional[jax.Array] = None,
+    ) -> None:
+        self.model = model
+        self.config = config
+        self.mesh = mesh
+        self.base_pulse = base_pulse
+
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(config.grad_clip),
+            optax.adam(config.learning_rate),
+        )
+
+        base_loss = LOSSES[config.loss]
+        if config.loss == "sharp":
+            self._loss_of_mean_fid = lambda f: base_loss(
+                f, config.loss_tau_bar, config.loss_k)
+        else:
+            self._loss_of_mean_fid = base_loss
+
+        self._mean_fid = make_mean_fidelity(mesh, config.backend)
+        self._jit_train_step = jax.jit(self._train_step, donate_argnums=(0, 1))
+        self._jit_eval_step = jax.jit(self._eval_step)
+
+    # ------------------------------------------------------------------
+    # Functional pieces
+    # ------------------------------------------------------------------
+
+    def _apply_model(self, params, rv, dropout_key=None):
+        kwargs: Dict[str, Any] = {}
+        if dropout_key is not None:
+            kwargs["deterministic"] = False
+            kwargs["rngs"] = {"dropout": dropout_key}
+        if getattr(self.model, "finetune", False):
+            kwargs["base_pulse"] = self.base_pulse
+        try:
+            return self.model.apply(params, rv, **kwargs)
+        except TypeError:
+            # models without dropout/deterministic arguments (e.g. GRAPE)
+            kwargs.pop("deterministic", None)
+            kwargs.pop("rngs", None)
+            return self.model.apply(params, rv, **kwargs)
+
+    def _objective(self, params, rv, q_target, delta, eps, dropout_key):
+        pulses = self._apply_model(params, rv, dropout_key)
+        mean_fid = self._mean_fid(pulses, q_target, delta, eps)
+        return self._loss_of_mean_fid(mean_fid), mean_fid
+
+    def _train_step(self, params, opt_state, rv, q_target, key, delta_std,
+                    epsilon_std):
+        k_err, k_drop = jax.random.split(key)
+        B = rv.shape[0]
+        delta, eps = sample_ore_ple(
+            k_err, (B, self.config.monte_carlo), delta_std, epsilon_std)
+        (loss, mean_fid), grads = jax.value_and_grad(
+            self._objective, has_aux=True
+        )(params, rv, q_target, delta, eps, k_drop)
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, mean_fid
+
+    def _eval_step(self, params, rv, q_target, key, delta_std, epsilon_std):
+        B = rv.shape[0]
+        delta, eps = sample_ore_ple(
+            key, (B, self.config.monte_carlo), delta_std, epsilon_std)
+        pulses = self._apply_model(params, rv)
+        return self._mean_fid(pulses, q_target, delta, eps)
+
+    # ------------------------------------------------------------------
+    # Data placement
+    # ------------------------------------------------------------------
+
+    def _place(self, params, rv, q_target):
+        if self.mesh is None:
+            return params, rv, q_target
+        params = jax.device_put(params, replicated(self.mesh))
+        rv = jax.device_put(rv, shard_spec(self.mesh, DATA_AXIS))
+        q_target = jax.device_put(q_target, shard_spec(self.mesh, DATA_AXIS))
+        return params, rv, q_target
+
+    # ------------------------------------------------------------------
+    # Orchestration
+    # ------------------------------------------------------------------
+
+    def init_params(self, sample_rv: jax.Array):
+        kwargs = {}
+        if getattr(self.model, "finetune", False):
+            kwargs["base_pulse"] = self.base_pulse
+        return self.model.init(jax.random.PRNGKey(self.config.seed),
+                               sample_rv, **kwargs)
+
+    def train(
+        self,
+        train_rv: jax.Array,
+        train_q_target: jax.Array,
+        eval_rv: jax.Array,
+        eval_q_target: jax.Array,
+        curriculum: Optional[List[CurriculumBand]] = None,
+        params: Any = None,
+        save_dir: Optional[str] = None,
+        logger: Optional[MetricsLogger] = None,
+        epochs: Optional[int] = None,
+    ) -> Tuple[Any, Dict[str, Any]]:
+        """Run the full curriculum.  Returns ``(best_params, history)``.
+
+        Mirrors the reference band loop (trainer.py:168-231): per band, reset
+        best fidelity, run epochs, track best params by eval fidelity, reload
+        best before the next band, checkpoint per band.
+        """
+        cfg = self.config
+        curriculum = curriculum or default_curriculum()
+        epochs = epochs if epochs is not None else cfg.epochs
+        if params is None:
+            params = self.init_params(train_rv[: min(2, train_rv.shape[0])])
+        opt_state = self.optimizer.init(params)
+
+        n_train = train_rv.shape[0]
+        n_eval = eval_rv.shape[0]
+        bs = min(cfg.batch_size, n_train)
+        n_batches = n_train // bs
+        eval_bs = min(cfg.batch_size, n_eval)
+        n_eval_batches = n_eval // eval_bs
+
+        key = jax.random.PRNGKey(cfg.seed + 1)
+        history: Dict[str, Any] = {"bands": []}
+
+        for band_idx, band in enumerate(curriculum):
+            best_fid = 0.0
+            # deep-copy: the jitted step donates the params buffers
+            best_params = jax.tree_util.tree_map(lambda x: jnp.array(x), params)
+            band_hist = {"band": dataclasses.asdict(band), "eval_fid": [],
+                         "train_loss": []}
+            d_std = jnp.float32(band.delta_std)
+            e_std = jnp.float32(band.epsilon_std)
+
+            for epoch in range(epochs):
+                losses = []
+                for b in range(n_batches):
+                    rv = train_rv[b * bs:(b + 1) * bs]
+                    qt = train_q_target[b * bs:(b + 1) * bs]
+                    params_p, rv, qt = self._place(params, rv, qt)
+                    key, sub = jax.random.split(key)
+                    params, opt_state, loss, _ = self._jit_train_step(
+                        params_p, opt_state, rv, qt, sub, d_std, e_std)
+                    losses.append(loss)
+
+                fids = []
+                for b in range(n_eval_batches):
+                    rv = eval_rv[b * eval_bs:(b + 1) * eval_bs]
+                    qt = eval_q_target[b * eval_bs:(b + 1) * eval_bs]
+                    params_p, rv, qt = self._place(params, rv, qt)
+                    key, sub = jax.random.split(key)
+                    fids.append(self._jit_eval_step(
+                        params_p, rv, qt, sub, d_std, e_std))
+
+                train_loss = float(jnp.mean(jnp.stack(losses)))
+                eval_fid = float(jnp.mean(jnp.stack(fids)))
+                band_hist["train_loss"].append(train_loss)
+                band_hist["eval_fid"].append(eval_fid)
+
+                if eval_fid > best_fid:
+                    best_fid = eval_fid
+                    best_params = jax.tree_util.tree_map(
+                        lambda x: jnp.array(x), params)
+
+                if logger is not None:
+                    logger.log(
+                        band=band_idx, delta_std=band.delta_std,
+                        epsilon_std=band.epsilon_std, epoch=epoch,
+                        train_loss=train_loss, eval_fid=eval_fid,
+                        best_fid=best_fid,
+                    )
+
+            # reload best before escalating sigma (reference trainer.py:223-225)
+            params = best_params
+            band_hist["best_fid"] = best_fid
+            history["bands"].append(band_hist)
+
+            if save_dir is not None:
+                from .checkpoint import save_checkpoint
+                save_checkpoint(
+                    save_dir, params,
+                    tag=f"band{band_idx}_delta{band.delta_std:g}"
+                        f"_eps{band.epsilon_std:g}",
+                    metadata={"band": dataclasses.asdict(band),
+                              "best_fid": best_fid},
+                )
+
+        return params, history
+
+    def evaluate(self, params, rv, q_target, delta_std, epsilon_std,
+                 key=None) -> float:
+        """Mean fidelity over one eval set (reference trainer.py:101-121)."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        params, rv, q_target = self._place(params, rv, q_target)
+        return float(self._jit_eval_step(
+            params, rv, q_target, key,
+            jnp.float32(delta_std), jnp.float32(epsilon_std)))
