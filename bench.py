@@ -1,0 +1,58 @@
+"""Headline benchmark: SU(2) L=20 composite-sequence propagations/sec/chip.
+
+Runs the fused Pallas propagate+fidelity kernel (the framework's hot op) on
+one chip and prints a single JSON line.  Baseline = 1e7 props/s/chip
+(BASELINE.json north star for TPU v5e).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from universal_quantum_optimal_control_tpu.core import su2
+from universal_quantum_optimal_control_tpu.ops import mean_fidelity_pallas
+
+BASELINE_PROPS_PER_SEC = 1e7  # BASELINE.json north_star
+B, L, M = 8, 20, 1 << 20      # 8.4M propagations per call
+
+
+def main() -> None:
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    pulses = jnp.stack(
+        [jax.random.uniform(k1, (B, L), minval=-np.pi, maxval=np.pi),
+         jax.random.uniform(k2, (B, L), minval=0.05, maxval=0.5)],
+        axis=-1,
+    )
+    delta = jax.random.normal(k3, (B, M))
+    eps = jax.random.normal(k4, (B, M)) * 0.05
+    q_target = su2.quat_normalize(
+        jax.random.normal(jax.random.PRNGKey(7), (B, 4)))
+
+    # warmup / compile
+    out = mean_fidelity_pallas(pulses, q_target, delta, eps)
+    jax.block_until_ready(out)
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = mean_fidelity_pallas(pulses, q_target, delta, eps)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    props_per_sec = B * M / dt
+    print(json.dumps({
+        "metric": "su2_L20_sequence_propagations_per_sec_per_chip",
+        "value": round(props_per_sec, 1),
+        "unit": "props/s/chip",
+        "vs_baseline": round(props_per_sec / BASELINE_PROPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
