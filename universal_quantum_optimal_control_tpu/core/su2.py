@@ -127,7 +127,9 @@ def segment_quat(
     half = 0.5 * tau * (1.0 + epsilon) * anorm
     w = jnp.cos(half)
     s = jnp.sin(half) / anorm  # sin(half) * (unit-axis scale)
-    return jnp.stack([w, s * jnp.cos(phi), s * jnp.sin(phi), s * delta], axis=-1)
+    comps = jnp.broadcast_arrays(
+        w, s * jnp.cos(phi), s * jnp.sin(phi), s * delta)
+    return jnp.stack(comps, axis=-1)
 
 
 def quat_to_su2(q: jax.Array) -> jax.Array:
