@@ -1,0 +1,146 @@
+"""SU(4) propagator tests against dense complex oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.linalg import expm
+
+from universal_quantum_optimal_control_tpu.core import su4
+
+
+def dense_H(phi, d1, d2, eps, sys_):
+    P = su4.pauli_strings()
+    amp = 0.5 * (1 + eps)
+    return (amp * (np.cos(phi) * P["X1"] + np.sin(phi) * P["Y1"]
+                   + sys_.xtalk * (np.cos(phi) * P["X2"] + np.sin(phi) * P["Y2"]))
+            + 0.5 * (d1 * P["Z1"] + d2 * P["Z2"])
+            + sys_.coupling * P["ZZ"])
+
+
+def test_hamiltonian_matches_dense():
+    sys_ = su4.TwoQubitSystem(xtalk=0.2, coupling=0.4)
+    rng = np.random.default_rng(0)
+    phi, d1, d2, eps = rng.uniform(-np.pi, np.pi), 0.3, -0.5, 0.04
+    Hr, Hi = su4.su4_hamiltonian(jnp.float32(phi), jnp.float32(d1),
+                                 jnp.float32(d2), jnp.float32(eps), sys_)
+    H = dense_H(phi, d1, d2, eps, sys_)
+    np.testing.assert_allclose(np.asarray(Hr), H.real, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Hi), H.imag, atol=1e-6)
+    # Hermitian
+    np.testing.assert_allclose(np.asarray(Hr), np.asarray(Hr).T, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Hi), -np.asarray(Hi).T, atol=1e-6)
+
+
+def test_expm_taylor_matches_scipy():
+    sys_ = su4.TwoQubitSystem(xtalk=0.15, coupling=0.5)
+    rng = np.random.default_rng(1)
+    for _ in range(5):
+        phi = rng.uniform(-np.pi, np.pi)
+        d1, d2 = rng.normal(0, 0.5, 2)
+        eps = rng.normal(0, 0.05)
+        tau = rng.uniform(0.05, 1.5)
+        Hr, Hi = su4.su4_hamiltonian(jnp.float32(phi), jnp.float32(d1),
+                                     jnp.float32(d2), jnp.float32(eps), sys_)
+        Ur, Ui = su4.expm_taylor_ri(Hr, Hi, jnp.float32(tau))
+        U = np.asarray(su4.complex_from_ri(Ur, Ui))
+        H = dense_H(phi, d1, d2, eps, sys_)
+        U_ref = np.asarray(expm(jnp.asarray(-1j * H * tau, jnp.complex64)))
+        np.testing.assert_allclose(U, U_ref, atol=5e-6)
+
+
+def test_propagate_su4_unitary_and_order():
+    sys_ = su4.TwoQubitSystem()
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    B, L = 3, 7
+    pulses = jnp.stack([
+        jax.random.uniform(k1, (B, L), minval=-np.pi, maxval=np.pi),
+        jax.random.uniform(k2, (B, L), minval=0.05, maxval=0.4)], axis=-1)
+    d1 = jnp.asarray([0.1, -0.2, 0.0])
+    d2 = jnp.asarray([0.0, 0.3, -0.1])
+    eps = jnp.asarray([0.02, -0.01, 0.0])
+    Ur, Ui = su4.propagate_su4(pulses, d1, d2, eps, sys_)
+    U = np.asarray(su4.complex_from_ri(Ur, Ui))
+
+    # unitarity
+    for b in range(B):
+        np.testing.assert_allclose(U[b].conj().T @ U[b], np.eye(4), atol=2e-5)
+
+    # order: sequential dense product U_L ... U_1
+    for b in range(B):
+        Uref = np.eye(4, dtype=np.complex64)
+        for k in range(L):
+            H = dense_H(float(pulses[b, k, 0]), float(d1[b]), float(d2[b]),
+                        float(eps[b]), sys_)
+            Uk = np.asarray(expm(jnp.asarray(
+                -1j * H * float(pulses[b, k, 1]), jnp.complex64)))
+            Uref = Uk @ Uref
+        np.testing.assert_allclose(U[b], Uref, atol=2e-5)
+
+
+def test_propagate_su4_mc_matches_flat():
+    sys_ = su4.TwoQubitSystem()
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 5)
+    B, L, M = 2, 5, 4
+    pulses = jnp.stack([
+        jax.random.uniform(ks[0], (B, L), minval=-np.pi, maxval=np.pi),
+        jax.random.uniform(ks[1], (B, L), minval=0.05, maxval=0.4)], axis=-1)
+    d1 = jax.random.normal(ks[2], (B, M))
+    d2 = jax.random.normal(ks[3], (B, M))
+    eps = jax.random.normal(ks[4], (B, M)) * 0.05
+    Ur, Ui = su4.propagate_su4_mc(pulses, d1, d2, eps, sys_)
+    assert Ur.shape == (B, M, 4, 4)
+    # spot check one (b, m) against flat call
+    Ur1, Ui1 = su4.propagate_su4(pulses[1], d1[1, 2], d2[1, 2], eps[1, 2], sys_)
+    np.testing.assert_allclose(np.asarray(Ur[1, 2]), np.asarray(Ur1), atol=1e-5)
+
+
+def test_fidelity_su4():
+    I4r, I4i = jnp.eye(4), jnp.zeros((4, 4))
+    np.testing.assert_allclose(
+        float(su4.fidelity_su4_ri(I4r, I4i, I4r, I4i)), 1.0, atol=1e-6)
+    # orthogonal target (X1): Tr = 0 -> F = 4/20 = 0.2
+    P = su4.pauli_strings()
+    Xr, Xi = jnp.asarray(P["X1"].real, jnp.float32), jnp.asarray(P["X1"].imag, jnp.float32)
+    np.testing.assert_allclose(
+        float(su4.fidelity_su4_ri(I4r, I4i, Xr, Xi)), 0.2, atol=1e-6)
+    # matches the generic complex-matrix implementation
+    from universal_quantum_optimal_control_tpu.core.objectives import (
+        entanglement_fidelity,
+    )
+    key = jax.random.PRNGKey(5)
+    A = jax.random.normal(key, (4, 4, 2))
+    U = jnp.linalg.qr(A[..., 0] + 1j * A[..., 1])[0][None].astype(jnp.complex64)
+    V = jnp.eye(4, dtype=jnp.complex64)[None]
+    f_ref = entanglement_fidelity(U, V)
+    f_ri = su4.fidelity_su4_ri(jnp.real(U), jnp.imag(U),
+                               jnp.real(V), jnp.imag(V))
+    np.testing.assert_allclose(np.asarray(f_ri), np.asarray(f_ref), atol=1e-5)
+
+
+def test_su4_gradients_flow():
+    sys_ = su4.TwoQubitSystem()
+    key = jax.random.PRNGKey(7)
+    k1, k2 = jax.random.split(key)
+    pulses = jnp.stack([
+        jax.random.uniform(k1, (1, 4), minval=-np.pi, maxval=np.pi),
+        jax.random.uniform(k2, (1, 4), minval=0.1, maxval=0.4)], axis=-1)
+    # target: CZ-like diag gate
+    T = jnp.diag(jnp.asarray([1, 1, 1, -1], jnp.complex64))[None]
+
+    def loss(p):
+        Ur, Ui = su4.propagate_su4(p, jnp.zeros(1), jnp.zeros(1), jnp.zeros(1),
+                                   sys_)
+        return 1.0 - jnp.mean(su4.fidelity_su4_ri(
+            Ur, Ui, jnp.real(T), jnp.imag(T)))
+
+    g = jax.grad(loss)(pulses)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.max(jnp.abs(g))) > 0
+
+    # finite difference
+    e = jnp.zeros_like(pulses).at[0, 1, 0].set(1.0)
+    h = 1e-3
+    fd = (loss(pulses + h * e) - loss(pulses - h * e)) / (2 * h)
+    np.testing.assert_allclose(float(g[0, 1, 0]), float(fd), atol=1e-3)

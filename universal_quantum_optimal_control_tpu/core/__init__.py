@@ -1,5 +1,6 @@
-from . import errors, objectives, propagate, su2  # noqa: F401
+from . import errors, objectives, propagate, su2, su4  # noqa: F401
 
+from .su4 import TwoQubitSystem, propagate_su4, propagate_su4_mc  # noqa: F401
 from .su2 import (  # noqa: F401
     axis_angle_to_quat,
     quat_conj,

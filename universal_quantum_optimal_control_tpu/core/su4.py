@@ -1,0 +1,202 @@
+r"""SU(4) two-qubit propagation — cross-talk + off-resonant disorder.
+
+The reference README advertises a two-qubit workload (`train/two_qubit/`,
+README.md:87) but ships no code for it; BASELINE.json configs[4] mandates
+"two-qubit entangling gate (SU(4) propagation, cross-talk + off-resonant
+disorder) with finetuned single-qubit pretraining".  This module defines the
+physics contract, generalized from the single-qubit Hamiltonian
+(SCORE.py:117-124):
+
+    H(φ; δ₁, δ₂, ε) = ½(1+ε)·[cos φ·X₁ + sin φ·Y₁ + χ·(cos φ·X₂ + sin φ·Y₂)]
+                      + ½·(δ₁·Z₁ + δ₂·Z₂) + J·Z₁Z₂
+
+i.e. qubit 1 is driven directly, qubit 2 sees a cross-talk fraction χ of the
+same drive, each qubit has independent static off-resonance δᵢ ~ N(0, σ_δ²),
+the drive amplitude carries a shared pulse-length error ε ~ N(0, σ_ε²), and
+an always-on ZZ coupling J provides the entangling resource.
+
+TPU-native representation: unitaries are (real, imag) pairs of 4×4 float32
+matrices (no complex dtype on the hot path); the segment exponential is a
+scaled-and-squared Taylor series (exact to <1e-7 for the pulse spaces here,
+differentiable everywhere — eigh would be non-differentiable at spectral
+degeneracies, which symmetric two-qubit configs hit routinely).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "TwoQubitSystem",
+    "pauli_strings",
+    "su4_hamiltonian",
+    "expm_taylor_ri",
+    "propagate_su4",
+    "propagate_su4_mc",
+    "fidelity_su4_ri",
+    "ri_from_complex",
+    "complex_from_ri",
+]
+
+# ---------------------------------------------------------------------------
+# Pauli strings (numpy constants; embedded as literals at trace time)
+# ---------------------------------------------------------------------------
+
+_I = np.eye(2)
+_X = np.array([[0, 1], [1, 0]], dtype=np.complex128)
+_Y = np.array([[0, -1j], [1j, 0]], dtype=np.complex128)
+_Z = np.array([[1, 0], [0, -1]], dtype=np.complex128)
+
+
+def _kron(a, b):
+    return np.kron(a, b)
+
+
+def pauli_strings() -> dict:
+    """Two-qubit Pauli strings as complex128 numpy 4×4 matrices."""
+    return {
+        "X1": _kron(_X, _I), "Y1": _kron(_Y, _I), "Z1": _kron(_Z, _I),
+        "X2": _kron(_I, _X), "Y2": _kron(_I, _Y), "Z2": _kron(_I, _Z),
+        "ZZ": _kron(_Z, _Z), "I": np.eye(4, dtype=np.complex128),
+    }
+
+
+_P = pauli_strings()
+# real/imag split constants, float32
+_XR = {k: jnp.asarray(v.real, jnp.float32) for k, v in _P.items()}
+_XI = {k: jnp.asarray(v.imag, jnp.float32) for k, v in _P.items()}
+
+
+class TwoQubitSystem(NamedTuple):
+    """Static system parameters: cross-talk fraction and ZZ coupling."""
+
+    xtalk: float = 0.1
+    coupling: float = 0.5
+
+
+def ri_from_complex(U: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    return jnp.real(U).astype(jnp.float32), jnp.imag(U).astype(jnp.float32)
+
+
+def complex_from_ri(Ur: jax.Array, Ui: jax.Array) -> jax.Array:
+    return (Ur + 1j * Ui).astype(jnp.complex64)
+
+
+def su4_hamiltonian(phi: jax.Array, delta1: jax.Array, delta2: jax.Array,
+                    epsilon: jax.Array,
+                    system: TwoQubitSystem) -> Tuple[jax.Array, jax.Array]:
+    """H as (real, imag) float32 pair, broadcasting over leading axes.
+
+    phi/delta/epsilon: ``(...,)`` → ``(..., 4, 4)`` each.
+    """
+    c = jnp.cos(phi)
+    s = jnp.sin(phi)
+    amp = 0.5 * (1.0 + epsilon)
+    chi = system.xtalk
+
+    def mix(table):
+        return (
+            (amp * c)[..., None, None] * table["X1"]
+            + (amp * s)[..., None, None] * table["Y1"]
+            + (amp * chi * c)[..., None, None] * table["X2"]
+            + (amp * chi * s)[..., None, None] * table["Y2"]
+            + (0.5 * delta1)[..., None, None] * table["Z1"]
+            + (0.5 * delta2)[..., None, None] * table["Z2"]
+            + jnp.broadcast_to(system.coupling * table["ZZ"],
+                               jnp.broadcast_shapes(phi.shape, delta1.shape,
+                                                    delta2.shape,
+                                                    epsilon.shape) + (4, 4))
+        )
+
+    return mix(_XR), mix(_XI)
+
+
+def _matmul_ri(ar, ai, br, bi):
+    """Complex matmul on (re, im) pairs — 3 real matmuls (Karatsuba)."""
+    k1 = ar @ (br + bi)
+    k2 = (ar + ai) @ bi
+    k3 = (ai - ar) @ br
+    return k1 - k2, k1 + k3
+
+
+def expm_taylor_ri(Hr: jax.Array, Hi: jax.Array, tau: jax.Array,
+                   order: int = 8, scaling: int = 4) -> Tuple[jax.Array, jax.Array]:
+    """``exp(−i·H·τ)`` on (re, im) pairs via scaled Taylor + squaring.
+
+    A = −i·H·τ/2^s  ⇒  (Ar, Ai) = (Hi·τ/2^s, −Hr·τ/2^s).  With ‖Hτ‖ ≲ 4 and
+    s=4, the order-8 truncation error is < 1e-10; gradients are polynomial
+    (differentiable everywhere, unlike eigh at degeneracies).
+    """
+    scale = tau[..., None, None] / (2.0 ** scaling)
+    Ar = Hi * scale
+    Ai = -Hr * scale
+
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=Ar.dtype), Ar.shape)
+    zero = jnp.zeros_like(Ar)
+    Ur, Ui = eye + Ar, zero + Ai  # I + A
+    Tr_, Ti_ = Ar, Ai
+    for k in range(2, order + 1):
+        Tr_, Ti_ = _matmul_ri(Tr_, Ti_, Ar / k, Ai / k)
+        Ur, Ui = Ur + Tr_, Ui + Ti_
+    for _ in range(scaling):
+        Ur, Ui = _matmul_ri(Ur, Ui, Ur, Ui)
+    return Ur, Ui
+
+
+def propagate_su4(pulses: jax.Array, delta1: jax.Array, delta2: jax.Array,
+                  epsilon: jax.Array,
+                  system: TwoQubitSystem = TwoQubitSystem()) -> Tuple[jax.Array, jax.Array]:
+    """Compose ``U_L ⋯ U_1`` for two-qubit phase-control sequences.
+
+    pulses: ``(..., L, 2)`` (φ, τ); disorder: ``(...,)`` each.
+    Returns (re, im) pair ``(..., 4, 4)``.
+    """
+    phi = jnp.moveaxis(pulses[..., 0], -1, 0)  # (L, ...)
+    tau = jnp.moveaxis(pulses[..., 1], -1, 0)
+
+    batch_shape = jnp.broadcast_shapes(
+        phi.shape[1:], delta1.shape, delta2.shape, epsilon.shape)
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                           batch_shape + (4, 4))
+    init = (eye + jnp.zeros(batch_shape + (4, 4), jnp.float32),
+            jnp.zeros(batch_shape + (4, 4), jnp.float32))
+
+    def body(carry, pt):
+        phi_k, tau_k = pt
+        Hr, Hi = su4_hamiltonian(
+            jnp.broadcast_to(phi_k, batch_shape), delta1, delta2, epsilon,
+            system)
+        Ukr, Uki = expm_taylor_ri(Hr, Hi, jnp.broadcast_to(tau_k, batch_shape))
+        Ur, Ui = _matmul_ri(Ukr, Uki, *carry)
+        return (Ur, Ui), None
+
+    (Ur, Ui), _ = jax.lax.scan(body, init, (phi, tau))
+    return Ur, Ui
+
+
+def propagate_su4_mc(pulses: jax.Array, delta1: jax.Array, delta2: jax.Array,
+                     epsilon: jax.Array,
+                     system: TwoQubitSystem = TwoQubitSystem()):
+    """MC-fused form: pulses ``(B, L, 2)``, disorder ``(B, M)`` →
+    (re, im) ``(B, M, 4, 4)`` without materializing pulse repeats."""
+    return propagate_su4(pulses[:, None, :, :], delta1, delta2, epsilon,
+                         system)
+
+
+def fidelity_su4_ri(Ur: jax.Array, Ui: jax.Array, Tr_r: jax.Array,
+                    Tr_i: jax.Array) -> jax.Array:
+    """Entanglement fidelity ``(|Tr(U†T)|² + d)/(d(d+1))`` for d=4 on
+    (re, im) pairs (same normalization as SCORE.py:168-183).
+
+    Tr(U†T) = Σᵢⱼ conj(Uᵢⱼ)·Tᵢⱼ = Σ (Ur·Tr + Ui·Ti) + i·Σ (Ur·Ti − Ui·Tr).
+    """
+    re = jnp.sum(Ur * Tr_r + Ui * Tr_i, axis=(-2, -1))
+    im = jnp.sum(Ur * Tr_i - Ui * Tr_r, axis=(-2, -1))
+    t2 = re * re + im * im
+    d = 4.0
+    return (t2 + d) / (d * (d + 1))

@@ -1,4 +1,4 @@
-from . import grape, pipeline, score_embedding, universal_transformer  # noqa: F401
+from . import grape, pipeline, score_embedding, two_qubit, universal_transformer  # noqa: F401
 
 from .grape import GRAPE  # noqa: F401
 from .pipeline import Pipeline, rotation_vector_from_unitary  # noqa: F401
@@ -12,4 +12,9 @@ from .universal_transformer import (  # noqa: F401
     UniversalQOCTransformer,
     normalize_pulse_space,
     wrap_angle,
+)
+from .two_qubit import (  # noqa: F401
+    TwoQubitQOCTransformer,
+    transfer_encoder_params,
+    unitary_tokens,
 )

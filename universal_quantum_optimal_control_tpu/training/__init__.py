@@ -8,3 +8,4 @@ from .trainer import (  # noqa: F401
     Trainer,
     default_curriculum,
 )
+from .systems import SU2System, SU4System, make_objective  # noqa: F401

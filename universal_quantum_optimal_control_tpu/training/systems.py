@@ -1,0 +1,93 @@
+r"""Quantum system abstractions for the trainer.
+
+The reference injects ``unitary_generator`` / ``error_sampler`` /
+``fidelity_fn`` callables into its trainer (universal_model_trainer.py:27-35).
+Here that contract is a small typed object: a *system* knows how to sample
+its disorder channels and how to score a pulse batch against targets — so the
+same curriculum trainer drives single-qubit (quaternion/Pallas paths) and
+two-qubit (SU(4) real-imag paths) workloads, sharded or not.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core import su4 as su4_mod
+from ..core.errors import sample_ore_ple
+from ..parallel.mc_parallel import mean_fidelity_local
+from ..parallel.mesh import DATA_AXIS, MC_AXIS
+
+__all__ = ["SU2System", "SU4System", "make_objective"]
+
+
+def make_objective(mesh: Optional[Mesh], local_fn):
+    """Lift ``local_fn(pulses, target, errors) -> (B_local,)`` per-target mean
+    fidelities into a global scalar objective, sharding over the mesh when
+    given (pulses/targets over ``data``, disorder over ``(data, mc)``,
+    pmean over ICI)."""
+    if mesh is None:
+        def objective(pulses, target, errors):
+            return jnp.mean(local_fn(pulses, target, errors))
+        return objective
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS, MC_AXIS)),
+        out_specs=P(),
+    )
+    def objective(pulses, target, errors):
+        f_local = local_fn(pulses, target, errors)
+        return jax.lax.pmean(jnp.mean(f_local), (DATA_AXIS, MC_AXIS))
+
+    return objective
+
+
+class SU2System:
+    """Single-qubit system: ORE+PLE disorder, quaternion targets ``(B, 4)``.
+
+    ``backend``: "xla" (scan) or "pallas" (fused Mosaic kernel).
+    """
+
+    def __init__(self, backend: str = "xla") -> None:
+        self.backend = backend
+
+    def sample_errors(self, key, shape, delta_std, epsilon_std):
+        return sample_ore_ple(key, shape, delta_std, epsilon_std)
+
+    def local_mean_fidelity(self, pulses, q_target, errors):
+        delta, eps = errors
+        return mean_fidelity_local(pulses, q_target, delta, eps, self.backend)
+
+
+class SU4System:
+    """Two-qubit system: independent per-qubit ORE + shared PLE, targets as
+    (re, im) 4×4 pairs stacked into ``(B, 2, 4, 4)``."""
+
+    def __init__(self, xtalk: float = 0.1, coupling: float = 0.5) -> None:
+        self.system = su4_mod.TwoQubitSystem(xtalk=xtalk, coupling=coupling)
+
+    @staticmethod
+    def pack_target(U: jax.Array) -> jax.Array:
+        """Complex ``(B, 4, 4)`` targets → real ``(B, 2, 4, 4)``."""
+        return jnp.stack([jnp.real(U), jnp.imag(U)], axis=1).astype(jnp.float32)
+
+    def sample_errors(self, key, shape, delta_std, epsilon_std):
+        k1, k2, k3 = jax.random.split(key, 3)
+        delta1 = jax.random.normal(k1, shape) * delta_std
+        delta2 = jax.random.normal(k2, shape) * delta_std
+        eps = jax.random.normal(k3, shape) * epsilon_std
+        return delta1, delta2, eps
+
+    def local_mean_fidelity(self, pulses, target, errors):
+        delta1, delta2, eps = errors
+        Ur, Ui = su4_mod.propagate_su4_mc(pulses, delta1, delta2, eps,
+                                          self.system)
+        F = su4_mod.fidelity_su4_ri(
+            Ur, Ui, target[:, None, 0], target[:, None, 1])
+        return jnp.mean(F, axis=1)

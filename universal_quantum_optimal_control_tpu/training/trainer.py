@@ -29,10 +29,9 @@ import optax
 from jax.sharding import Mesh
 
 from ..core import objectives
-from ..core.errors import sample_ore_ple
-from ..parallel.mc_parallel import make_mean_fidelity
-from ..parallel.mesh import DATA_AXIS, MC_AXIS, replicated, shard_spec
+from ..parallel.mesh import DATA_AXIS, replicated, shard_spec
 from .metrics import MetricsLogger
+from .systems import SU2System, make_objective
 
 __all__ = ["TrainConfig", "CurriculumBand", "Trainer", "default_curriculum"]
 
@@ -74,10 +73,13 @@ class Trainer:
     """Curriculum trainer over disorder bands.
 
     Args:
-      model: linen module mapping rotation vectors → pulses.
+      model: linen module mapping model inputs (rotation vectors, packed
+        target unitaries, …) → pulses.
       config: hyperparameters.
       mesh: optional ``(data, mc)`` mesh for multi-chip training.
       base_pulse: optional finetune base pulse forwarded to the model.
+      system: quantum system (disorder channels + fidelity); defaults to the
+        single-qubit :class:`~.systems.SU2System` with the configured backend.
     """
 
     def __init__(
@@ -86,11 +88,13 @@ class Trainer:
         config: TrainConfig = TrainConfig(),
         mesh: Optional[Mesh] = None,
         base_pulse: Optional[jax.Array] = None,
+        system: Any = None,
     ) -> None:
         self.model = model
         self.config = config
         self.mesh = mesh
         self.base_pulse = base_pulse
+        self.system = system if system is not None else SU2System(config.backend)
 
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(config.grad_clip),
@@ -104,7 +108,7 @@ class Trainer:
         else:
             self._loss_of_mean_fid = base_loss
 
-        self._mean_fid = make_mean_fidelity(mesh, config.backend)
+        self._mean_fid = make_objective(mesh, self.system.local_mean_fidelity)
         self._jit_train_step = jax.jit(self._train_step, donate_argnums=(0, 1))
         self._jit_eval_step = jax.jit(self._eval_step)
 
@@ -127,30 +131,30 @@ class Trainer:
             kwargs.pop("rngs", None)
             return self.model.apply(params, rv, **kwargs)
 
-    def _objective(self, params, rv, q_target, delta, eps, dropout_key):
+    def _objective(self, params, rv, target, errors, dropout_key):
         pulses = self._apply_model(params, rv, dropout_key)
-        mean_fid = self._mean_fid(pulses, q_target, delta, eps)
+        mean_fid = self._mean_fid(pulses, target, errors)
         return self._loss_of_mean_fid(mean_fid), mean_fid
 
-    def _train_step(self, params, opt_state, rv, q_target, key, delta_std,
+    def _train_step(self, params, opt_state, rv, target, key, delta_std,
                     epsilon_std):
         k_err, k_drop = jax.random.split(key)
         B = rv.shape[0]
-        delta, eps = sample_ore_ple(
+        errors = self.system.sample_errors(
             k_err, (B, self.config.monte_carlo), delta_std, epsilon_std)
         (loss, mean_fid), grads = jax.value_and_grad(
             self._objective, has_aux=True
-        )(params, rv, q_target, delta, eps, k_drop)
+        )(params, rv, target, errors, k_drop)
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, mean_fid
 
-    def _eval_step(self, params, rv, q_target, key, delta_std, epsilon_std):
+    def _eval_step(self, params, rv, target, key, delta_std, epsilon_std):
         B = rv.shape[0]
-        delta, eps = sample_ore_ple(
+        errors = self.system.sample_errors(
             key, (B, self.config.monte_carlo), delta_std, epsilon_std)
         pulses = self._apply_model(params, rv)
-        return self._mean_fid(pulses, q_target, delta, eps)
+        return self._mean_fid(pulses, target, errors)
 
     # ------------------------------------------------------------------
     # Data placement
