@@ -1,0 +1,18 @@
+from . import bloch, fits, plots, score_pulses  # noqa: F401
+
+from .bloch import animate_bloch_ensemble, bloch_trajectories  # noqa: F401
+from .fits import piecewise_linear_eval, segmented_linear_fit  # noqa: F401
+from .plots import (  # noqa: F401
+    fidelity_by_std,
+    fidelity_contour_plot,
+    fidelity_grid,
+    mc_fidelity_estimate,
+    plot_fidelity_by_std,
+    plot_pulse_param,
+)
+from .score_pulses import (  # noqa: F401
+    NAMED_SCORE_TARGETS,
+    SCORE_ANGLE_VECTORS,
+    build_score_pulses,
+    score_n_config,
+)
