@@ -1,0 +1,120 @@
+"""End-to-end CLI smoke tests: each workload main runs at tiny scale, the
+visualize driver and demo CLI render artifacts."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+
+def write_tiny_universal_config(tmp_path):
+    cfg = {
+        "num_qubits": 1,
+        "pulse_space": {"phi": [-3.15, 3.15], "tau": [0.1, 0.5]},
+        "max_pulses": 6,
+        "d_model": 16,
+        "n_layers": 1,
+        "n_heads": 2,
+        "dropout": 0.1,
+        "finetune": None,
+    }
+    path = tmp_path / "model_params.json"
+    path.write_text(json.dumps(cfg))
+    return str(path)
+
+
+def test_universal_single_qubit_main(tmp_path):
+    from universal_quantum_optimal_control_tpu.workloads import (
+        universal_single_qubit as w,
+    )
+
+    cfg = write_tiny_universal_config(tmp_path)
+    w.main([
+        "--num_epoch", "1", "--save_path", str(tmp_path / "w"),
+        "--config", cfg, "--batch_size", "4", "--monte_carlo", "16",
+        "--train_size", "16", "--eval_size", "4",
+    ])
+    assert (tmp_path / "w" / "metrics.csv").exists()
+    from universal_quantum_optimal_control_tpu.training.checkpoint import (
+        list_checkpoints,
+    )
+    assert len(list_checkpoints(str(tmp_path / "w"))) == 3  # 3 bands
+
+
+def test_grape_main(tmp_path):
+    from universal_quantum_optimal_control_tpu.workloads import (
+        grape_single_qubit as w,
+    )
+
+    cfg = tmp_path / "grape.json"
+    cfg.write_text(json.dumps({
+        "pulse_space": {"phi": [-3.15, 3.15], "tau": [0.035, 0.07]},
+        "num_pulses": 10,
+    }))
+    w.main([
+        "--num_epoch", "2", "--save_path", str(tmp_path / "g"),
+        "--config", str(cfg), "--batch_size", "2", "--monte_carlo", "16",
+    ])
+    assert (tmp_path / "g" / "metrics.csv").exists()
+
+
+def test_dcrab_main(tmp_path):
+    from universal_quantum_optimal_control_tpu.workloads import (
+        dcrab_single_qubit as w,
+    )
+
+    out = tmp_path / "dcrab.npz"
+    w.main([
+        "--mode", "grad", "--n_modes", "3", "--T", "1.0", "--dt", "0.05",
+        "--rounds", "2", "--samples", "8", "--steps", "20",
+        "--out", str(out),
+    ])
+    data = np.load(out)
+    assert data["params"].shape == (7,)
+    assert data["omegas"].shape == (3,)
+
+
+def test_two_qubit_main(tmp_path):
+    from universal_quantum_optimal_control_tpu.workloads import two_qubit as w
+
+    w.main([
+        "--num_epoch", "1", "--save_path", str(tmp_path / "t"),
+        "--max_pulses", "4", "--d_model", "16", "--n_layers", "1",
+        "--n_heads", "2", "--batch_size", "2", "--monte_carlo", "8",
+        "--train_size", "4", "--eval_size", "2",
+    ])
+    assert (tmp_path / "t" / "metrics.csv").exists()
+
+
+def test_visualize_driver_random_init(tmp_path):
+    from universal_quantum_optimal_control_tpu.analysis import (
+        visualize_universal as v,
+    )
+
+    cfg = write_tiny_universal_config(tmp_path)
+    v.main([
+        "--random-init", "--config", cfg, "--out", str(tmp_path / "viz"),
+        "--monte_carlo", "200", "--gates", "X", "--skip-video",
+    ])
+    files = {p.name for p in (tmp_path / "viz").iterdir()}
+    assert "X_pulses.csv" in files
+    assert "X_contour.png" in files
+    assert "X_params.png" in files
+    assert "X_fidelity.png" in files
+
+
+def test_demo_cli_random_init(tmp_path, monkeypatch):
+    from universal_quantum_optimal_control_tpu.demo import app
+
+    # point the length_100 variant at a tiny config for the test
+    cfg = write_tiny_universal_config(tmp_path)
+    monkeypatch.setitem(app.MODEL_VARIANTS, "tiny",
+                        {"config": cfg, "checkpoint": None})
+    app.load_pipeline.cache_clear()
+    paths = app.render_artifacts("tiny", 1.0, 0.0, 0.0, float(np.pi),
+                                 str(tmp_path / "demo"), random_init=True,
+                                 monte_carlo=100, video=False)
+    import os
+    for k in ("csv", "contour", "params", "fidelity"):
+        assert os.path.exists(paths[k]), k

@@ -1,0 +1,189 @@
+r"""Interactive demo — serve trained universal models.
+
+TPU-native equivalent of the reference Gradio app (demo_universal/app.py):
+pick a model variant, specify a target rotation (axis + angle), and get the
+pulse table (CSV), fidelity contour, pulse-parameter plot, fidelity-vs-σ
+curve, and a Bloch evolution video.
+
+Fixes vs the reference: models are instantiated and weights loaded ONCE and
+cached (the reference reloads on every button click — app.py:65-69), and all
+evaluations run jitted.
+
+Gradio is optional in this image; without it, ``main()`` falls back to a CLI
+that renders the same artifacts to a directory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..core.su2 import rotation_vector_to_quat
+from ..models import Pipeline, UniversalQOCTransformer, normalize_pulse_space
+from ..training.checkpoint import restore_checkpoint
+from ..utils import load_model_params
+
+_CONFIG_DIR = Path(__file__).parent.parent / "configs"
+
+MODEL_VARIANTS: Dict[str, Dict] = {
+    "length_100": {"config": str(_CONFIG_DIR / "universal_single_qubit.json"),
+                   "checkpoint": None},
+    "length_400": {"config": str(_CONFIG_DIR /
+                                 "universal_single_qubit_length400.json"),
+                   "checkpoint": None},
+}
+
+
+@functools.lru_cache(maxsize=4)
+def load_pipeline(variant: str, checkpoint: Optional[str] = None,
+                  random_init: bool = False) -> Pipeline:
+    """Build and cache a Pipeline for a model variant."""
+    spec = MODEL_VARIANTS[variant]
+    model_params = load_model_params(spec["config"])
+    model_params["pulse_space"] = normalize_pulse_space(
+        model_params["pulse_space"])
+    # the finetune blend needs an explicit base pulse; serve without it
+    model_params["finetune"] = False
+    model = UniversalQOCTransformer(**model_params)
+
+    rv0 = np.asarray([[1.0, 0.0, 0.0, np.pi]], np.float32)
+    target = model.init(jax.random.PRNGKey(0), rv0)
+    ckpt = checkpoint or spec["checkpoint"]
+    if ckpt is not None:
+        base_dir, tag = ckpt.rsplit(":", 1)
+        params, _ = restore_checkpoint(base_dir, tag, target=target)
+    elif random_init:
+        params = target
+    else:
+        raise ValueError(f"no checkpoint registered for variant {variant}; "
+                         "pass checkpoint='dir:tag' or random_init=True")
+    return Pipeline(model, params)
+
+
+def compute_pulses(variant: str, x: float, y: float, z: float, theta: float,
+                   checkpoint: Optional[str] = None,
+                   random_init: bool = False):
+    """Rotation spec → (pulses (L, 2), target quaternion) — reference
+    ``compute_pulse_and_unitary`` (app.py:50-72)."""
+    pipe = load_pipeline(variant, checkpoint, random_init)
+    n = np.asarray([x, y, z], np.float64)
+    n = n / max(np.linalg.norm(n), 1e-12)
+    rv = np.asarray([[n[0], n[1], n[2], theta]], np.float32)
+    pulses = np.asarray(pipe(rv)[0])
+    return pulses, rotation_vector_to_quat(rv[0])
+
+
+def render_artifacts(variant: str, x: float, y: float, z: float, theta: float,
+                     out_dir: str, checkpoint: Optional[str] = None,
+                     random_init: bool = False, monte_carlo: int = 10000,
+                     video: bool = True) -> Dict[str, str]:
+    """Render the full artifact set for one target; returns file paths."""
+    import csv
+
+    from ..analysis.bloch import animate_bloch_ensemble
+    from ..analysis.plots import (
+        fidelity_contour_plot,
+        plot_fidelity_by_std,
+        plot_pulse_param,
+    )
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    pulses, q_target = compute_pulses(variant, x, y, z, theta, checkpoint,
+                                      random_init)
+
+    paths = {"csv": str(out / "pulses.csv")}
+    with open(paths["csv"], "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["phi", "tau"])
+        w.writerows(pulses.tolist())
+
+    paths["contour"] = str(out / "contour.png")
+    fidelity_contour_plot(pulses, q_target, save_path=paths["contour"],
+                          title=f"θ={theta:.3f}", monte_carlo=monte_carlo)
+    paths["params"] = str(out / "params.png")
+    plot_pulse_param(pulses, save_path=paths["params"])
+    plot_fidelity_by_std(pulses, q_target, save_prefix=str(out / "fid"),
+                         monte_carlo=monte_carlo)
+    paths["fidelity"] = str(out / "fid_fidelity.png")
+    if video:
+        paths["video"] = str(out / "evolution.mp4")
+        animate_bloch_ensemble(pulses, q_target, n_samples=12,
+                               save_path=paths["video"])
+    return paths
+
+
+def launch_gradio(checkpoints: Dict[str, str], share: bool = False):
+    """Gradio UI (reference app.py:176-196) — requires gradio installed."""
+    import gradio as gr  # gated import
+
+    for k, v in checkpoints.items():
+        MODEL_VARIANTS[k]["checkpoint"] = v
+
+    def run(variant, x, y, z, theta):
+        import tempfile
+        with tempfile.TemporaryDirectory() as td:
+            paths = render_artifacts(variant, x, y, z, theta, td)
+            return (paths["csv"], paths["contour"], paths["params"],
+                    paths["fidelity"], paths.get("video"))
+
+    demo = gr.Interface(
+        fn=run,
+        inputs=[
+            gr.Dropdown(list(MODEL_VARIANTS), value="length_100",
+                        label="model"),
+            gr.Slider(-1, 1, value=1.0, label="n_x"),
+            gr.Slider(-1, 1, value=0.0, label="n_y"),
+            gr.Slider(-1, 1, value=0.0, label="n_z"),
+            gr.Slider(0, float(np.pi), value=float(np.pi), label="θ"),
+        ],
+        outputs=[gr.File(label="pulse CSV"), gr.Image(label="contour"),
+                 gr.Image(label="pulse params"),
+                 gr.Image(label="fidelity vs σ"), gr.Video(label="evolution")],
+        title="Universal Quantum Optimal Control (TPU)",
+    )
+    demo.launch(share=share)
+    return demo
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="QOC demo")
+    p.add_argument("--variant", default="length_100",
+                   choices=list(MODEL_VARIANTS))
+    p.add_argument("--checkpoint", default=None, help="'dir:tag'")
+    p.add_argument("--random-init", action="store_true")
+    p.add_argument("--axis", default="1,0,0")
+    p.add_argument("--theta", type=float, default=float(np.pi))
+    p.add_argument("--out", default="demo_out")
+    p.add_argument("--monte_carlo", type=int, default=10000)
+    p.add_argument("--no-video", action="store_true")
+    p.add_argument("--serve", action="store_true",
+                   help="launch the Gradio UI (requires gradio)")
+    args = p.parse_args(argv)
+
+    if args.serve:
+        try:
+            ckpts = ({args.variant: args.checkpoint}
+                     if args.checkpoint else {})
+            launch_gradio(ckpts)
+            return
+        except ImportError:
+            print("gradio not installed — falling back to CLI rendering")
+
+    x, y, z = (float(v) for v in args.axis.split(","))
+    paths = render_artifacts(args.variant, x, y, z, args.theta, args.out,
+                             checkpoint=args.checkpoint,
+                             random_init=args.random_init,
+                             monte_carlo=args.monte_carlo,
+                             video=not args.no_video)
+    for k, v in paths.items():
+        print(f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,6 @@
+from . import (  # noqa: F401
+    dcrab_single_qubit,
+    grape_single_qubit,
+    two_qubit,
+    universal_single_qubit,
+)

@@ -1,0 +1,108 @@
+r"""Two-qubit entangling-gate training — CLI entry point.
+
+Implements BASELINE.json configs[4] (the workload the reference README
+advertises at README.md:87 but ships no code for): SU(4) propagation with
+cross-talk + per-qubit off-resonant disorder, curriculum over σ, optional
+finetune from a single-qubit checkpoint (encoder transfer).
+
+Targets: a batch of entangling gates built from ZZ interactions and local
+rotations (CZ-class), packed as (re, im) pairs.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import su4
+from ..models import UniversalQOCTransformer, normalize_pulse_space
+from ..models.two_qubit import TwoQubitQOCTransformer, transfer_encoder_params
+from ..training import CurriculumBand, MetricsLogger, TrainConfig, Trainer
+from ..training.checkpoint import restore_checkpoint
+from ..training.systems import SU4System
+
+
+def build_targets(key: jax.Array, n: int,
+                  system: su4.TwoQubitSystem) -> jax.Array:
+    """Reachable entangling targets: zero-disorder propagations of random
+    pulse sequences (guaranteed inside the system's reachable set), packed
+    ``(n, 2, 4, 4)``."""
+    k1, k2 = jax.random.split(key)
+    pulses = jnp.stack([
+        jax.random.uniform(k1, (n, 24), minval=-np.pi, maxval=np.pi),
+        jax.random.uniform(k2, (n, 24), minval=0.1, maxval=0.5)], axis=-1)
+    Ur, Ui = su4.propagate_su4(pulses, jnp.zeros(n), jnp.zeros(n),
+                               jnp.zeros(n), system)
+    return jnp.stack([Ur, Ui], axis=1)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train two-qubit pulse model")
+    p.add_argument("--num_epoch", type=int, default=500)
+    p.add_argument("--save_path", type=str, default="weights/two_qubit")
+    p.add_argument("--max_pulses", type=int, default=40)
+    p.add_argument("--d_model", type=int, default=512)
+    p.add_argument("--n_layers", type=int, default=8)
+    p.add_argument("--n_heads", type=int, default=16)
+    p.add_argument("--xtalk", type=float, default=0.1)
+    p.add_argument("--coupling", type=float, default=0.5)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--monte_carlo", type=int, default=256)
+    p.add_argument("--learning_rate", type=float, default=3e-5)
+    p.add_argument("--train_size", type=int, default=256)
+    p.add_argument("--eval_size", type=int, default=64)
+    p.add_argument("--pretrained_single_qubit", type=str, default=None,
+                   help="checkpoint dir:tag of a single-qubit model whose "
+                        "encoder is transplanted before finetuning")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    system = SU4System(xtalk=args.xtalk, coupling=args.coupling)
+
+    model = TwoQubitQOCTransformer(
+        pulse_space=normalize_pulse_space({"phi": (-3.15, 3.15),
+                                           "tau": (0.1, 0.5)}),
+        max_pulses=args.max_pulses, d_model=args.d_model,
+        n_layers=args.n_layers, n_heads=args.n_heads,
+    )
+
+    key = jax.random.PRNGKey(args.seed)
+    k1, k2 = jax.random.split(key)
+    train_t = build_targets(k1, args.train_size, system.system)
+    eval_t = build_targets(k2, args.eval_size, system.system)
+
+    cfg = TrainConfig(
+        monte_carlo=args.monte_carlo, batch_size=args.batch_size,
+        epochs=args.num_epoch, learning_rate=args.learning_rate,
+        loss="sharp", seed=args.seed,
+    )
+    trainer = Trainer(model, cfg, system=system)
+
+    params = trainer.init_params(train_t[:2])
+    if args.pretrained_single_qubit:
+        base_dir, tag = args.pretrained_single_qubit.rsplit(":", 1)
+        single_params, _ = restore_checkpoint(base_dir, tag)
+        params = transfer_encoder_params(single_params, params)
+        print(f"transferred encoder from {args.pretrained_single_qubit}")
+
+    curriculum = [CurriculumBand(d) for d in (0.2, 0.4, 0.7)]
+
+    with MetricsLogger(path=f"{args.save_path}/metrics.csv",
+                       echo=True) as logger:
+        params, history = trainer.train(
+            train_t, train_t, eval_t, eval_t,
+            curriculum=curriculum, params=params,
+            save_dir=args.save_path, logger=logger)
+
+    best = max(b["best_fid"] for b in history["bands"])
+    print(f"done; best eval fidelity across bands: {best:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+r"""Universal single-qubit transformer training — CLI entry point.
+
+TPU-native equivalent of the reference's primary workload
+(train/unitary_single_qubit_gate/universal_single_qubit_SCORE.py:277-333):
+SCORE-embedding transformer, 10k-grid train set / 1k random eval set,
+curriculum δ_std ∈ {0.4, 0.7, 1.0} with ε_std = 0.05, sharp (log-barrier)
+loss, batch 200, seed 0.
+
+Usage:
+    python -m universal_quantum_optimal_control_tpu.workloads.universal_single_qubit \
+        --num_epoch 1000 --save_path weights/single_qubit_control \
+        [--config configs/universal_single_qubit.json] [--mesh data,mc]
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+
+from ..data import build_su2_dataset
+from ..models import UniversalQOCTransformer, normalize_pulse_space
+from ..parallel import make_mesh
+from ..training import CurriculumBand, MetricsLogger, TrainConfig, Trainer
+from ..utils import load_model_params
+
+DEFAULT_CONFIG = str(Path(__file__).parent.parent / "configs"
+                     / "universal_single_qubit.json")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train universal QOC transformer")
+    p.add_argument("--num_epoch", type=int, default=1000)
+    p.add_argument("--save_path", type=str,
+                   default="weights/single_qubit_control")
+    p.add_argument("--config", type=str, default=DEFAULT_CONFIG,
+                   help="model params JSON (reference-compatible)")
+    p.add_argument("--batch_size", type=int, default=200,
+                   help="reference: 200 for L=100, 50 for L=400")
+    p.add_argument("--monte_carlo", type=int, default=1000)
+    p.add_argument("--learning_rate", type=float, default=3e-5)
+    p.add_argument("--backend", type=str, default="xla",
+                   choices=["xla", "pallas"])
+    p.add_argument("--mesh", type=str, default=None,
+                   help="'data,mc' shards, e.g. '2,4'; default single device")
+    p.add_argument("--train_size", type=int, default=10000)
+    p.add_argument("--eval_size", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    model_params = load_model_params(args.config)
+    model_params["pulse_space"] = normalize_pulse_space(
+        model_params["pulse_space"])
+    model_params["finetune"] = bool(model_params.get("finetune"))
+    model = UniversalQOCTransformer(**model_params)
+
+    mesh = None
+    if args.mesh:
+        d, m = (int(x) for x in args.mesh.split(","))
+        mesh = make_mesh(data=d, mc=m)
+
+    cfg = TrainConfig(
+        monte_carlo=args.monte_carlo, batch_size=args.batch_size,
+        epochs=args.num_epoch, learning_rate=args.learning_rate,
+        loss="sharp", backend=args.backend, seed=args.seed,
+    )
+    trainer = Trainer(model, cfg, mesh=mesh)
+
+    key = jax.random.PRNGKey(args.seed)
+    k1, k2 = jax.random.split(key)
+    train_rv, train_qt = build_su2_dataset(k1, args.train_size, random=False)
+    eval_rv, eval_qt = build_su2_dataset(k2, args.eval_size, random=True)
+
+    # reference curriculum: delta_std in {0.4, 0.7, 1.0}, eps_std 0.05
+    curriculum = [CurriculumBand(d) for d in (0.4, 0.7, 1.0)]
+
+    with MetricsLogger(path=f"{args.save_path}/metrics.csv",
+                       echo=True) as logger:
+        params, history = trainer.train(
+            train_rv, train_qt, eval_rv, eval_qt,
+            curriculum=curriculum, save_dir=args.save_path, logger=logger)
+
+    best = max(b["best_fid"] for b in history["bands"])
+    print(f"done; best eval fidelity across bands: {best:.4f}")
+
+
+if __name__ == "__main__":
+    main()
