@@ -106,3 +106,11 @@ def test_positional_encoding_matches_standard_form():
     np.testing.assert_allclose(pe[0, 0::2], np.zeros(8), atol=1e-7)  # sin(0)
     np.testing.assert_allclose(pe[0, 1::2], np.ones(8), atol=1e-7)   # cos(0)
     np.testing.assert_allclose(pe[3, 0], np.sin(3.0), atol=1e-6)
+
+
+def test_quat_to_real_vector_matches_complex_path():
+    q = su2.quat_normalize(jax.random.normal(jax.random.PRNGKey(3), (50, 4)))
+    direct = se.quat_to_real_vector(q)
+    via_complex = se.to_real_vector(su2.quat_to_su2(q))
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(via_complex),
+                               atol=1e-6)

@@ -28,7 +28,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from ..core.su2 import axis_angle_to_quat, quat_to_su2
+from ..core.su2 import axis_angle_to_quat, quat_to_su2  # quat_to_su2 kept for the complex-path oracle
 
 __all__ = [
     "euler_yxy_from_rotation_vector",
@@ -158,6 +158,18 @@ def to_real_vector(U: jax.Array) -> jax.Array:
     return jnp.stack([flat_r, flat_i], axis=-1).reshape(*U.shape[:-2], -1)
 
 
+def quat_to_real_vector(q: jax.Array) -> jax.Array:
+    """``to_real_vector(quat_to_su2(q))`` computed WITHOUT complex dtype.
+
+    For U(q) = w·I − i(x·σx + y·σy + z·σz), the interleaved re/im flattening
+    is the fixed linear map ``[w, −z, −y, −x, y, −x, w, z]`` of the
+    quaternion components — keeps the embedding path complex-free on TPU
+    (verified against the complex path in tests).
+    """
+    w, x, y, z = (q[..., i] for i in range(4))
+    return jnp.stack([w, -z, -y, -x, y, -x, w, z], axis=-1)
+
+
 def score_features(rotation_vector: jax.Array,
                     middle_convention: str = "angle") -> tuple[jax.Array, jax.Array]:
     """Full SCORE featurization of a batch of targets.
@@ -179,7 +191,7 @@ def score_features(rotation_vector: jax.Array,
     )
     euler = euler_yxy_from_rotation_vector(rescaled)
     quats = score_sequence_from_yxy(euler, middle_convention)  # (B, 9, 4)
-    tokens = to_real_vector(quat_to_su2(quats))  # (B, 9, 8)
+    tokens = quat_to_real_vector(quats)  # (B, 9, 8) — complex-free path
     return tokens, phi_offset
 
 
