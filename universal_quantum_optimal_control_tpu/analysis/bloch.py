@@ -146,11 +146,14 @@ def animate_bloch_ensemble(pulses, u_target=None, delta_std: float = 0.5,
 
     anim = animation.FuncAnimation(fig, update, frames=n_frames,
                                    blit=False)
+    saved_path = None
     if save_path is not None:
         try:
             anim.save(save_path, writer=animation.FFMpegWriter(fps=fps))
+            saved_path = str(save_path)
         except (FileNotFoundError, RuntimeError):
-            gif_path = str(save_path).rsplit(".", 1)[0] + ".gif"
-            anim.save(gif_path, writer=animation.PillowWriter(fps=fps))
+            saved_path = str(save_path).rsplit(".", 1)[0] + ".gif"
+            anim.save(saved_path, writer=animation.PillowWriter(fps=fps))
         plt.close(fig)
+        return saved_path
     return anim

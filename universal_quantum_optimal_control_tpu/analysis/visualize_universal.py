@@ -63,6 +63,10 @@ def main(argv=None) -> None:
     gates = named_gate_rotation_vectors()
     if args.gates:
         wanted = [g.strip() for g in args.gates.split(",")]
+        unknown = [g for g in wanted if g not in gates]
+        if unknown:
+            raise SystemExit(
+                f"unknown gate(s) {unknown}; available: {sorted(gates)}")
         gates = {k: v for k, v in gates.items() if k in wanted}
 
     sample_rv = next(iter(gates.values()))[None]

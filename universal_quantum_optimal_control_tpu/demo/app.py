@@ -112,9 +112,10 @@ def render_artifacts(variant: str, x: float, y: float, z: float, theta: float,
                          monte_carlo=monte_carlo)
     paths["fidelity"] = str(out / "fid_fidelity.png")
     if video:
-        paths["video"] = str(out / "evolution.mp4")
-        animate_bloch_ensemble(pulses, q_target, n_samples=12,
-                               save_path=paths["video"])
+        # returns the ACTUAL saved path (falls back to .gif without ffmpeg)
+        paths["video"] = animate_bloch_ensemble(
+            pulses, q_target, n_samples=12,
+            save_path=str(out / "evolution.mp4"))
     return paths
 
 

@@ -42,6 +42,12 @@ LANES = 128
 _DEF_ROWS = 256  # rows per tile; 256*128 samples * ~9 f32 arrays ≈ 1.2 MB VMEM
 
 
+def _interpret() -> bool:
+    """Run the kernel in interpreter mode off-TPU (CPU backend) so the
+    pallas backend stays usable everywhere (tests, laptops)."""
+    return jax.default_backend() == "cpu"
+
+
 def _segment_loop(phi_ref, tau_ref, b, delta, eps, L):
     """Shared kernel body: compose L segments over a (rows, 128) sample tile.
 
@@ -148,6 +154,7 @@ def _propagate_mc_pallas_raw(pulses, delta, eps, tile_rows=_DEF_ROWS):
             flops=B * M * L * 40, transcendentals=B * M * (L * 4 + 2),
             bytes_accessed=B * (L * 8 + M * 8 + M * 16),
         ),
+        interpret=_interpret(),
     )(phi, tau, delta_r, eps_r)
     return jnp.moveaxis(out, 1, -1).reshape(B, M, 4)
 
@@ -208,6 +215,7 @@ def _mean_fid_raw(pulses, q_target, delta, eps, tile_rows=_DEF_ROWS):
             flops=B * M * (L * 40 + 10), transcendentals=B * M * (L * 4 + 2),
             bytes_accessed=B * (L * 8 + M * 8 + 4),
         ),
+        interpret=_interpret(),
     )(phi, tau, q_target, delta_r, eps_r)
     return sums[:, 0] / M
 
