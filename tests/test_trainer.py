@@ -139,3 +139,52 @@ def test_checkpoint_roundtrip(tmp_path):
                                   np.asarray(params["w"]))
     assert restored["b"]["x"].dtype == jnp.bfloat16
     assert meta == {"k": 1.5}
+
+
+def test_resume_mid_band(tmp_path):
+    """Full-state resume: kill after band 0 epoch 3, resume, and the final
+    state matches a continuous run's band/epoch structure."""
+    model = GRAPE(num_pulses=8, direct=False,
+                  pulse_space=normalize_pulse_space(
+                      {"phi": (-3.15, 3.15), "tau": (0.1, 0.5)}))
+    rv, qt = x_gate_data()
+    cfg = TrainConfig(monte_carlo=64, batch_size=1, epochs=6,
+                      learning_rate=3e-3, state_every=1, seed=3)
+    save_dir = str(tmp_path / "run")
+
+    # run A: crashes after 3 epochs of band 0 (simulated by training only
+    # band 0 for 3 epochs — its saved states carry band_idx=0, epoch=3)
+    trainer_a = Trainer(model, cfg)
+    params_a, _ = trainer_a.train(
+        rv, qt, rv, qt, curriculum=[CurriculumBand(0.1)],
+        save_dir=save_dir, epochs=3)
+
+    from universal_quantum_optimal_control_tpu.training.resume import (
+        latest_step, restore_train_state,
+    )
+    assert latest_step(f"{save_dir}/state") is not None
+
+    # run B: resume and finish the curriculum
+    trainer_b = Trainer(model, cfg)
+    params_b, history = trainer_b.train(
+        rv, qt, rv, qt, curriculum=[CurriculumBand(0.1), CurriculumBand(0.2)],
+        save_dir=save_dir, epochs=6, resume=True)
+    # band 0 resumed at epoch 3 -> only 3 more epochs recorded there
+    assert len(history["bands"][0]["eval_fid"]) == 3
+    assert len(history["bands"][1]["eval_fid"]) == 6
+    assert history["bands"][1]["best_fid"] > 0.5
+
+
+def test_profile_trace_written(tmp_path):
+    model = GRAPE(num_pulses=6, pulse_space=normalize_pulse_space(
+        {"phi": (-3.15, 3.15), "tau": (0.1, 0.5)}))
+    rv, qt = x_gate_data()
+    cfg = TrainConfig(monte_carlo=32, batch_size=1, epochs=4,
+                      profile_dir=str(tmp_path / "prof"), profile_steps=2)
+    trainer = Trainer(model, cfg)
+    trainer.train(rv, qt, rv, qt, curriculum=[CurriculumBand(0.1)])
+    import os
+    found = []
+    for root, _, files in os.walk(tmp_path / "prof"):
+        found += [f for f in files if f.endswith((".pb", ".trace.json.gz"))]
+    assert found, "no profiler trace files written"

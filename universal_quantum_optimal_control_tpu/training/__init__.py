@@ -9,3 +9,4 @@ from .trainer import (  # noqa: F401
     default_curriculum,
 )
 from .systems import SU2System, SU4System, make_objective  # noqa: F401
+from .resume import TrainState, restore_train_state, save_train_state  # noqa: F401

@@ -67,6 +67,9 @@ class TrainConfig:
     loss_k: float = 100.0
     backend: str = "xla"              # "xla" | "pallas"
     seed: int = 0
+    profile_dir: Optional[str] = None  # jax.profiler trace of early steps
+    profile_steps: int = 3
+    state_every: int = 0              # save full resume state every N epochs
 
 
 class Trainer:
@@ -190,13 +193,21 @@ class Trainer:
         save_dir: Optional[str] = None,
         logger: Optional[MetricsLogger] = None,
         epochs: Optional[int] = None,
+        resume: bool = False,
     ) -> Tuple[Any, Dict[str, Any]]:
         """Run the full curriculum.  Returns ``(best_params, history)``.
 
         Mirrors the reference band loop (trainer.py:168-231): per band, reset
         best fidelity, run epochs, track best params by eval fidelity, reload
         best before the next band, checkpoint per band.
+
+        With ``config.state_every > 0`` and a ``save_dir``, the FULL training
+        state (params, optimizer, curriculum position, PRNG key) is
+        checkpointed periodically; ``resume=True`` continues from the latest
+        such state (the reference cannot resume mid-band).
         """
+        import time as _time
+
         cfg = self.config
         curriculum = curriculum or default_curriculum()
         epochs = epochs if epochs is not None else cfg.epochs
@@ -214,24 +225,61 @@ class Trainer:
         key = jax.random.PRNGKey(cfg.seed + 1)
         history: Dict[str, Any] = {"bands": []}
 
+        start_band, start_epoch = 0, 0
+        resume_best_params, resume_best_fid = None, None
+        if resume and save_dir is not None:
+            from .resume import latest_step, restore_train_state
+            if latest_step(f"{save_dir}/state") is not None:
+                target = {"params": params, "opt_state": opt_state,
+                          "best_params": params,
+                          "key": jax.random.PRNGKey(0)}
+                st = restore_train_state(f"{save_dir}/state", target=target)
+                params, opt_state, key = st.params, st.opt_state, st.key
+                start_band, start_epoch = st.band_idx, st.epoch
+                resume_best_params, resume_best_fid = (st.best_params,
+                                                       st.best_fid)
+
+        profiling = cfg.profile_dir is not None
+        steps_done = 0
+
         for band_idx, band in enumerate(curriculum):
-            best_fid = 0.0
-            # deep-copy: the jitted step donates the params buffers
-            best_params = jax.tree_util.tree_map(lambda x: jnp.array(x), params)
+            if band_idx < start_band:
+                history["bands"].append({
+                    "band": dataclasses.asdict(band), "eval_fid": [],
+                    "train_loss": [], "best_fid": None, "skipped_resume": True})
+                continue
+            if band_idx == start_band and resume_best_params is not None:
+                best_fid = resume_best_fid
+                best_params = resume_best_params
+            else:
+                best_fid = 0.0
+                # deep-copy: the jitted step donates the params buffers
+                best_params = jax.tree_util.tree_map(
+                    lambda x: jnp.array(x), params)
             band_hist = {"band": dataclasses.asdict(band), "eval_fid": [],
                          "train_loss": []}
             d_std = jnp.float32(band.delta_std)
             e_std = jnp.float32(band.epsilon_std)
 
-            for epoch in range(epochs):
+            epoch0 = start_epoch if band_idx == start_band else 0
+            for epoch in range(epoch0, epochs):
+                t_epoch = _time.perf_counter()
                 losses = []
                 for b in range(n_batches):
                     rv = train_rv[b * bs:(b + 1) * bs]
                     qt = train_q_target[b * bs:(b + 1) * bs]
                     params_p, rv, qt = self._place(params, rv, qt)
                     key, sub = jax.random.split(key)
+                    if profiling and steps_done == 1:
+                        # skip step 0 (compile); trace the steady state
+                        jax.profiler.start_trace(cfg.profile_dir)
                     params, opt_state, loss, _ = self._jit_train_step(
                         params_p, opt_state, rv, qt, sub, d_std, e_std)
+                    steps_done += 1
+                    if profiling and steps_done == 1 + cfg.profile_steps:
+                        jax.block_until_ready(loss)
+                        jax.profiler.stop_trace()
+                        profiling = False
                     losses.append(loss)
 
                 fids = []
@@ -254,12 +302,28 @@ class Trainer:
                         lambda x: jnp.array(x), params)
 
                 if logger is not None:
+                    dt = _time.perf_counter() - t_epoch
+                    # sequence propagations per second (the headline metric):
+                    # every train step propagates bs × monte_carlo sequences
+                    props = (n_batches + n_eval_batches) * bs * cfg.monte_carlo
                     logger.log(
                         band=band_idx, delta_std=band.delta_std,
                         epsilon_std=band.epsilon_std, epoch=epoch,
                         train_loss=train_loss, eval_fid=eval_fid,
                         best_fid=best_fid,
+                        throughput_props_s=round(props / dt, 1),
                     )
+
+                if (cfg.state_every and save_dir is not None
+                        and (epoch + 1) % cfg.state_every == 0):
+                    from .resume import TrainState, save_train_state
+                    save_train_state(
+                        f"{save_dir}/state",
+                        TrainState(params=params, opt_state=opt_state,
+                                   best_params=best_params, key=key,
+                                   band_idx=band_idx, epoch=epoch + 1,
+                                   best_fid=best_fid),
+                        step=band_idx * epochs + epoch + 1)
 
             # reload best before escalating sigma (reference trainer.py:223-225)
             params = best_params
