@@ -21,6 +21,7 @@ TPU-native redesign of the reference ``UniversalModelTrainer``
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
@@ -70,6 +71,7 @@ class TrainConfig:
     profile_dir: Optional[str] = None  # jax.profiler trace of early steps
     profile_steps: int = 3
     state_every: int = 0              # save full resume state every N epochs
+    debug_nans: bool = False          # enable jax NaN checking for the run
 
 
 class Trainer:
@@ -179,8 +181,9 @@ class Trainer:
         kwargs = {}
         if getattr(self.model, "finetune", False):
             kwargs["base_pulse"] = self.base_pulse
-        return self.model.init(jax.random.PRNGKey(self.config.seed),
-                               sample_rv, **kwargs)
+        # jitted init: one compiled program instead of hundreds of eager ops
+        return jax.jit(functools.partial(self.model.init, **kwargs))(
+            jax.random.PRNGKey(self.config.seed), sample_rv)
 
     def train(
         self,
@@ -209,6 +212,8 @@ class Trainer:
         import time as _time
 
         cfg = self.config
+        if cfg.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         curriculum = curriculum or default_curriculum()
         epochs = epochs if epochs is not None else cfg.epochs
         if params is None:
@@ -332,13 +337,25 @@ class Trainer:
 
             if save_dir is not None:
                 from .checkpoint import save_checkpoint
+                tag = (f"band{band_idx}_delta{band.delta_std:g}"
+                       f"_eps{band.epsilon_std:g}")
                 save_checkpoint(
-                    save_dir, params,
-                    tag=f"band{band_idx}_delta{band.delta_std:g}"
-                        f"_eps{band.epsilon_std:g}",
+                    save_dir, params, tag=tag,
                     metadata={"band": dataclasses.asdict(band),
                               "best_fid": best_fid},
                 )
+                # export the best model's pulses on the train set
+                # (reference _save_pulses, trainer.py:260-266)
+                import numpy as _np
+                pulses_out = []
+                for b in range(n_batches):
+                    rv = train_rv[b * bs:(b + 1) * bs]
+                    params_p, rv, _ = self._place(params, rv,
+                                                  train_q_target[:bs])
+                    pulses_out.append(_np.asarray(
+                        self._apply_model(params_p, rv)))
+                _np.savez(f"{save_dir}/{tag}_pulses.npz",
+                          pulses=_np.concatenate(pulses_out, axis=0))
 
         return params, history
 
