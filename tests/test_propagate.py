@@ -105,3 +105,24 @@ def test_gradients_flow_and_are_correct():
     h = 1e-3
     fd = (loss(pulses + h * e, "scan") - loss(pulses - h * e, "scan")) / (2 * h)
     np.testing.assert_allclose(g_scan[0, 0, 0], fd, atol=1e-3)
+
+
+def test_scan_remat_matches_scan_values_and_grads():
+    from universal_quantum_optimal_control_tpu.core.propagate import (
+        propagate_scan,
+        propagate_scan_remat,
+    )
+    pulses, delta, eps = make_inputs(B=4, L=23, seed=9)  # non-square L
+    q_a = propagate_scan(pulses, delta, eps)
+    q_b = propagate_scan_remat(pulses, delta, eps)
+    np.testing.assert_allclose(np.asarray(q_a), np.asarray(q_b), atol=1e-6)
+
+    target = su2.axis_angle_to_quat(jnp.array([1.0, 0.0, 0.0]),
+                                    jnp.array(np.pi))
+
+    def loss(fn, p):
+        return 1.0 - jnp.mean(su2.quat_fidelity(fn(p, delta, eps), target))
+
+    g_a = jax.grad(lambda p: loss(propagate_scan, p))(pulses)
+    g_b = jax.grad(lambda p: loss(propagate_scan_remat, p))(pulses)
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_b), atol=1e-5)

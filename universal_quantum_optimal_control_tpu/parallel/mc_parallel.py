@@ -33,7 +33,8 @@ def mean_fidelity_local(pulses: jax.Array, q_target: jax.Array,
     """Per-target mean fidelity ``(B,)`` on local (unsharded) arrays."""
     if backend == "pallas":
         return mean_fidelity_pallas(pulses, q_target, delta, eps)
-    q = xla_prop.propagate_mc(pulses, delta, eps, method="scan")
+    method = "scan_remat" if backend == "xla_remat" else "scan"
+    q = xla_prop.propagate_mc(pulses, delta, eps, method=method)
     return jnp.mean(quat_fidelity(q, q_target[:, None, :]), axis=1)
 
 
