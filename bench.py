@@ -3,25 +3,34 @@
 Runs the fused Pallas propagate+fidelity kernel (the framework's hot op) on
 one chip and prints a single JSON line.  Baseline = 1e7 props/s/chip
 (BASELINE.json north star for TPU v5e).
+
+The measurement runs in a child process with a timeout + retries because the
+remote-TPU tunnel in this environment occasionally wedges (a hung RPC blocks
+the process forever); a fresh process re-establishes the session.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from universal_quantum_optimal_control_tpu.core import su2
-from universal_quantum_optimal_control_tpu.ops import mean_fidelity_pallas
 
 BASELINE_PROPS_PER_SEC = 1e7  # BASELINE.json north_star
 B, L, M = 8, 20, 1 << 20      # 8.4M propagations per call
+ATTEMPTS = 4
+TIMEOUT_S = 300
 
 
-def main() -> None:
+def measure() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from universal_quantum_optimal_control_tpu.core import su2
+    from universal_quantum_optimal_control_tpu.ops import mean_fidelity_pallas
+
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4 = jax.random.split(key, 4)
     pulses = jnp.stack(
@@ -34,8 +43,7 @@ def main() -> None:
     q_target = su2.quat_normalize(
         jax.random.normal(jax.random.PRNGKey(7), (B, 4)))
 
-    # warmup / compile
-    out = mean_fidelity_pallas(pulses, q_target, delta, eps)
+    out = mean_fidelity_pallas(pulses, q_target, delta, eps)  # compile
     jax.block_until_ready(out)
 
     iters = 30
@@ -52,6 +60,35 @@ def main() -> None:
         "unit": "props/s/chip",
         "vs_baseline": round(props_per_sec / BASELINE_PROPS_PER_SEC, 3),
     }))
+
+
+def main() -> None:
+    if os.environ.get("_BENCH_CHILD") == "1":
+        measure()
+        return
+
+    env = dict(os.environ, _BENCH_CHILD="1")
+    for attempt in range(ATTEMPTS):
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=TIMEOUT_S)
+        except subprocess.TimeoutExpired:
+            print(f"bench attempt {attempt + 1} timed out (device tunnel "
+                  f"unresponsive); retrying", file=sys.stderr)
+            continue
+        for line in res.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+                return
+        print(f"bench attempt {attempt + 1} failed:\n{res.stderr[-2000:]}",
+              file=sys.stderr)
+    print(json.dumps({
+        "metric": "su2_L20_sequence_propagations_per_sec_per_chip",
+        "value": 0.0, "unit": "props/s/chip", "vs_baseline": 0.0,
+        "error": "device unreachable after retries",
+    }))
+    sys.exit(1)
 
 
 if __name__ == "__main__":
