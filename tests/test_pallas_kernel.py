@@ -74,3 +74,43 @@ def test_rejects_unaligned_mc():
     pulses, delta, eps = make_inputs(B=1, L=4, M=256)
     with pytest.raises(ValueError):
         pk.propagate_mc_pallas(pulses, delta[:, :100], eps[:, :100])
+
+
+def test_pallas_bwd_kernel_matches_xla_vjp():
+    """The fused reverse-sweep kernel's cotangents (pulses, delta, eps) match
+    the XLA scan VJP exactly."""
+    from universal_quantum_optimal_control_tpu.ops.propagate_pallas_bwd import (
+        propagate_mc_vjp_pallas,
+    )
+
+    pulses, delta, eps = make_inputs(B=3, L=11, M=256, seed=4)
+    g = jax.random.normal(jax.random.PRNGKey(5), (3, 256, 4))
+
+    dp_p, dd_p, de_p = propagate_mc_vjp_pallas(pulses, delta, eps, g)
+    _, vjp = jax.vjp(
+        lambda p, d, e: xla_prop.propagate_mc(p, d, e), pulses, delta, eps)
+    dp_x, dd_x, de_x = vjp(g)
+    np.testing.assert_allclose(np.asarray(dp_p), np.asarray(dp_x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dd_p), np.asarray(dd_x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(de_p), np.asarray(de_x), atol=1e-5)
+
+
+def test_mean_fidelity_pallas_full_gradient_chain():
+    """grad through mean_fidelity_pallas (fwd + fused bwd kernels) matches
+    the pure XLA objective for all four inputs."""
+    pulses, delta, eps = make_inputs(B=2, L=9, M=128, seed=6)
+    q_t = su2.quat_normalize(jax.random.normal(jax.random.PRNGKey(8), (2, 4)))
+
+    def obj_pallas(p, qt, d, e):
+        return jnp.sum(pk.mean_fidelity_pallas(p, qt, d, e))
+
+    def obj_xla(p, qt, d, e):
+        q = xla_prop.propagate_mc(p, d, e)
+        return jnp.sum(jnp.mean(su2.quat_fidelity(q, qt[:, None, :]), axis=1))
+
+    g_p = jax.grad(obj_pallas, argnums=(0, 1, 2, 3))(pulses, q_t, delta, eps)
+    g_x = jax.grad(obj_xla, argnums=(0, 1, 2, 3))(pulses, q_t, delta, eps)
+    for a, b in zip(g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

@@ -174,12 +174,10 @@ def _fwd(pulses, delta, eps):
 
 
 def _bwd(res, g):
+    # fused Pallas reverse sweep — no stored per-segment residuals
+    from .propagate_pallas_bwd import propagate_mc_vjp_pallas
     pulses, delta, eps = res
-    _, vjp = jax.vjp(
-        lambda p, d, e: xla_prop.propagate_mc(p, d, e, method="scan"),
-        pulses, delta, eps,
-    )
-    return vjp(g)
+    return propagate_mc_vjp_pallas(pulses, delta, eps, g)
 
 
 propagate_mc_pallas.defvjp(_fwd, _bwd)
@@ -243,8 +241,21 @@ def _mf_fwd(pulses, q_target, delta, eps):
 
 
 def _mf_bwd(res, g):
-    _, vjp = jax.vjp(_xla_mean_fid, *res)
-    return vjp(g)
+    """Backward of the fused objective, itself fully fused:
+    re-run the forward Pallas propagator for the per-sample quaternions,
+    chain through the fidelity analytically, then the Pallas reverse-sweep
+    kernel for the pulse/disorder cotangents — no XLA scan residuals."""
+    from .propagate_pallas_bwd import propagate_mc_vjp_pallas
+    pulses, q_target, delta, eps = res
+    M = delta.shape[1]
+    q = _propagate_mc_pallas_raw(pulses, delta, eps)        # (B, M, 4)
+    inner = jnp.sum(q * q_target[:, None, :], axis=-1)      # ⟨q, qt⟩
+    # F_b = mean_m (4·inner² + 2)/6  ⇒  dF_b/dq = (8/6)·inner·qt / M
+    scale = (8.0 / 6.0) * inner * g[:, None] / M            # (B, M)
+    g_q = scale[..., None] * q_target[:, None, :]
+    d_pulses, d_delta, d_eps = propagate_mc_vjp_pallas(pulses, delta, eps, g_q)
+    d_qt = jnp.sum(scale[..., None] * q, axis=1)            # (B, 4)
+    return d_pulses, d_qt, d_delta, d_eps
 
 
 mean_fidelity_pallas.defvjp(_mf_fwd, _mf_bwd)

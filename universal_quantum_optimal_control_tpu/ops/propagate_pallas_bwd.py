@@ -1,0 +1,195 @@
+r"""Fused Pallas backward kernel for the Monte-Carlo propagator.
+
+Computes the VJP of ``propagate_mc`` with O(1) residual memory: instead of
+storing per-segment products (the XLA scan VJP stores all L carries), the
+backward sweep reconstructs the right-prefix ``R_k = q_{k-1} ⊗ ⋯ ⊗ q_1`` by
+*inverse* Hamilton products from the full product (unit quaternions:
+``q⁻¹ = conj(q)``) and maintains the conjugated left-suffix on the fly.
+
+Math: with ``Q = L_k ⊗ q_k ⊗ R_k`` and output cotangent ``g``, the cotangent
+of segment k is ``A_k = conj(L_k) ⊗ g ⊗ conj(R_k)`` (the adjoint of the
+linear map ``q ↦ L ⊗ q ⊗ R`` under the Euclidean inner product on ℝ⁴ is
+``v ↦ conj(L) ⊗ v ⊗ conj(R)`` for unit L, R).  Chaining through the
+closed-form segment quaternion gives dφ/dτ (summed over the sample tile into
+SMEM accumulators) and dδ/dε (per sample).
+
+Loops run as ``fori_loop`` with dynamic SMEM scalar indexing, so L=400
+compiles without a 2·L static unroll.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .propagate_pallas import LANES, _interpret, _mc_grid
+
+__all__ = ["propagate_mc_vjp_pallas"]
+
+
+def _hprod(a, b):
+    """Hamilton product on component 4-tuples."""
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return (
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by + ay * bw + az * bx - ax * bz,
+        aw * bz + az * bw + ax * by - ay * bx,
+    )
+
+
+def _conj(a):
+    aw, ax, ay, az = a
+    return (aw, -ax, -ay, -az)
+
+
+def _seg_quat(phi, tau, delta, eps, anorm, inv_anorm):
+    half = 0.5 * tau * (1.0 + eps) * anorm
+    c = jnp.cos(half)
+    s = jnp.sin(half) * inv_anorm
+    return (c, s * jnp.cos(phi), s * jnp.sin(phi), s * delta)
+
+
+def _bwd_kernel(phi_ref, tau_ref, delta_ref, eps_ref, g_ref,
+                dphi_ref, dtau_ref, ddelta_ref, deps_ref, *, L):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    delta = delta_ref[0]
+    eps = eps_ref[0]
+    anorm2 = 1.0 + delta * delta
+    anorm = jnp.sqrt(anorm2)
+    inv_anorm = 1.0 / anorm
+
+    @pl.when(jnp.logical_and(b == 0, j == 0))
+    def _():
+        dphi_ref[...] = jnp.zeros(dphi_ref.shape, dphi_ref.dtype)
+        dtau_ref[...] = jnp.zeros(dtau_ref.shape, dtau_ref.dtype)
+
+    zero = jnp.zeros_like(delta)
+    one = jnp.ones_like(delta)
+
+    # ---- forward: full product P = q_L ⊗ ⋯ ⊗ q_1 -------------------------
+    def fwd_body(k, P):
+        q = _seg_quat(phi_ref[b, k], tau_ref[b, k], delta, eps,
+                      anorm, inv_anorm)
+        return _hprod(q, P)
+
+    P = jax.lax.fori_loop(0, L, fwd_body, (one, zero, zero, zero))
+
+    g = (g_ref[0, 0], g_ref[0, 1], g_ref[0, 2], g_ref[0, 3])
+
+    # ---- backward sweep ---------------------------------------------------
+    def bwd_body(i, carry):
+        P, cL, dd, de = carry
+        k = L - 1 - i
+        phi = phi_ref[b, k]
+        tau = tau_ref[b, k]
+        half = 0.5 * tau * (1.0 + eps) * anorm
+        c = jnp.cos(half)
+        sn = jnp.sin(half)          # sin(half)
+        s = sn * inv_anorm          # sin(half)/n
+        cphi = jnp.cos(phi)
+        sphi = jnp.sin(phi)
+        q = (c, s * cphi, s * sphi, s * delta)
+
+        # R_k = P_{k-1} = q_k^{-1} ⊗ P   (unit quaternion inverse = conj)
+        R = _hprod(_conj(q), P)
+        # A = conj(L_k) ⊗ g ⊗ conj(R_k)
+        A = _hprod(cL, _hprod(g, _conj(R)))
+        Aw, Ax, Ay, Az = A
+
+        # chain rule through the closed-form segment quaternion
+        h_tau = 0.5 * (1.0 + eps) * anorm
+        h_eps = 0.5 * tau * anorm
+        h_del = 0.5 * tau * (1.0 + eps) * delta * inv_anorm
+        # ∂q/∂φ = (0, −s·sφ, s·cφ, 0)
+        dphi_s = s * (Ay * cphi - Ax * sphi)
+        # ∂q/∂τ = (−sn·h_τ, c·h_τ/n·(cφ, sφ, δ))
+        ds_tau = c * h_tau * inv_anorm
+        dtau_s = (-sn * h_tau * Aw
+                  + ds_tau * (Ax * cphi + Ay * sphi + Az * delta))
+        # ∂q/∂ε — same form with h_ε
+        ds_eps = c * h_eps * inv_anorm
+        deps_s = (-sn * h_eps * Aw
+                  + ds_eps * (Ax * cphi + Ay * sphi + Az * delta))
+        # ∂q/∂δ: ds = c·h_δ/n − s·δ/n², plus the direct s term on z
+        ds_del = c * h_del * inv_anorm - s * delta / anorm2
+        ddel_s = (-sn * h_del * Aw
+                  + ds_del * (Ax * cphi + Ay * sphi + Az * delta)
+                  + s * Az)
+
+        # per-(b, k) pulse grads: reduce over the sample tile into SMEM
+        dphi_ref[b, k] += jnp.sum(dphi_s)
+        dtau_ref[b, k] += jnp.sum(dtau_s)
+
+        # update the conjugated left-suffix: conj(L_{k-1}) = conj(q_k) ⊗ cL
+        cL_next = _hprod(_conj(q), cL)
+        return R, cL_next, dd + ddel_s, de + deps_s
+
+    init = (P, (one, zero, zero, zero), zero, zero)
+    _, _, dd, de = jax.lax.fori_loop(0, L, bwd_body, init)
+    ddelta_ref[0] = dd
+    deps_ref[0] = de
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows",))
+def propagate_mc_vjp_pallas(pulses: jax.Array, delta: jax.Array,
+                            eps: jax.Array, g: jax.Array,
+                            tile_rows: int = 8) -> Tuple[jax.Array, ...]:
+    """VJP of the MC propagator: cotangent ``g (B, M, 4)`` →
+    ``(dpulses (B, L, 2), ddelta (B, M), deps (B, M))``.
+
+    One fused kernel: forward product rebuild + reverse sweep, no stored
+    per-segment residuals.
+    """
+    B, L, _ = pulses.shape
+    M = delta.shape[1]
+    rows, tr, ntiles = _mc_grid(B, M, tile_rows)
+    phi = pulses[..., 0]
+    tau = pulses[..., 1]
+    delta_r = delta.reshape(B, rows, LANES)
+    eps_r = eps.reshape(B, rows, LANES)
+    g_r = jnp.moveaxis(g, -1, 1).reshape(B, 4, rows, LANES)
+
+    dphi, dtau, ddelta, deps = pl.pallas_call(
+        functools.partial(_bwd_kernel, L=L),
+        grid=(B, ntiles),
+        in_specs=[
+            pl.BlockSpec((B, L), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, L), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tr, LANES), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr, LANES), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, tr, LANES), lambda b, j: (b, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((B, L), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, L), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tr, LANES), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr, LANES), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=B * M * L * 150, transcendentals=B * M * L * 8,
+            bytes_accessed=B * (L * 16 + M * 8 + M * 16 + M * 16),
+        ),
+        interpret=_interpret(),
+    )(phi, tau, delta_r, eps_r, g_r)
+
+    dpulses = jnp.stack([dphi, dtau], axis=-1)
+    return dpulses, ddelta.reshape(B, M), deps.reshape(B, M)
