@@ -12,7 +12,7 @@ at M=10000 (util.py:214, 227-228), δ_std sweep over [0.01, 2.0) step 0.01
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax
-import jax.numpy as jnp
+
 
 __all__ = ["sample_ore", "sample_ore_ple", "ore_ple_sampler"]
 

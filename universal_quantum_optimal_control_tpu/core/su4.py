@@ -24,7 +24,7 @@ degeneracies, which symmetric two-qubit configs hit routinely).
 
 from __future__ import annotations
 
-import functools
+
 from typing import NamedTuple, Tuple
 
 import jax

@@ -15,7 +15,7 @@ logits as a parameter table with no MLP — the classic GRAPE formulation.
 
 from __future__ import annotations
 
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ and finetuned on the two-qubit task.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,7 @@ amplitudes (dCRAB.py:95-96).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 from typing import Callable, Optional, Tuple
 
 import jax

@@ -11,7 +11,7 @@ two-qubit (SU(4) real-imag paths) workloads, sharded or not.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ import argparse
 import numpy as np
 
 from ..core.su2 import axis_angle_to_quat
-from ..optimizers.dcrab import DcrabConfig, dcrab_optimize
+from ..optimizers.dcrab import dcrab_optimize
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import su4
-from ..models import UniversalQOCTransformer, normalize_pulse_space
+from ..models import normalize_pulse_space
 from ..models.two_qubit import TwoQubitQOCTransformer, transfer_encoder_params
 from ..training import CurriculumBand, MetricsLogger, TrainConfig, Trainer
 from ..training.checkpoint import restore_checkpoint
