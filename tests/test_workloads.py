@@ -118,3 +118,24 @@ def test_demo_cli_random_init(tmp_path, monkeypatch):
     import os
     for k in ("csv", "contour", "params", "fidelity"):
         assert os.path.exists(paths[k]), k
+
+
+def test_shipped_small20_weights_load_and_perform():
+    """The in-repo pretrained artifact loads through the demo path and
+    delivers a robust X(pi) pulse (E[F] > 0.8 at sigma=0.4)."""
+    import jax.numpy as jnp
+    from universal_quantum_optimal_control_tpu.analysis import (
+        mc_fidelity_estimate,
+    )
+    from universal_quantum_optimal_control_tpu.core.su2 import (
+        rotation_vector_to_quat,
+    )
+    from universal_quantum_optimal_control_tpu.demo import app
+
+    app.load_pipeline.cache_clear()
+    pulses, q_t = app.compute_pulses("small_20", 1.0, 0.0, 0.0,
+                                     float(np.pi))
+    assert pulses.shape == (20, 2)
+    f, se = mc_fidelity_estimate(pulses, q_t, delta_std=0.4,
+                                 monte_carlo=2000)
+    assert f > 0.8, f

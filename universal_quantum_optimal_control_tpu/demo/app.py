@@ -30,7 +30,13 @@ from ..utils import load_model_params
 
 _CONFIG_DIR = Path(__file__).parent.parent / "configs"
 
+_WEIGHTS_DIR = Path(__file__).parent / "weights"
+
 MODEL_VARIANTS: Dict[str, Dict] = {
+    # shipped pretrained artifact (trained in-repo; see weights/README.md)
+    "small_20": {"config": str(_CONFIG_DIR /
+                               "universal_single_qubit_small20.json"),
+                 "checkpoint": str(_WEIGHTS_DIR / "small20.npz")},
     "length_100": {"config": str(_CONFIG_DIR / "universal_single_qubit.json"),
                    "checkpoint": None},
     "length_400": {"config": str(_CONFIG_DIR /
@@ -52,16 +58,20 @@ def load_pipeline(variant: str, checkpoint: Optional[str] = None,
     model = UniversalQOCTransformer(**model_params)
 
     rv0 = np.asarray([[1.0, 0.0, 0.0, np.pi]], np.float32)
-    target = model.init(jax.random.PRNGKey(0), rv0)
+    target = jax.jit(model.init)(jax.random.PRNGKey(0), rv0)
     ckpt = checkpoint or spec["checkpoint"]
-    if ckpt is not None:
+    if ckpt is not None and str(ckpt).endswith(".npz"):
+        from ..models.serialization import load_params_npz
+        params = load_params_npz(str(ckpt), target)
+    elif ckpt is not None:
         base_dir, tag = ckpt.rsplit(":", 1)
         params, _ = restore_checkpoint(base_dir, tag, target=target)
     elif random_init:
         params = target
     else:
         raise ValueError(f"no checkpoint registered for variant {variant}; "
-                         "pass checkpoint='dir:tag' or random_init=True")
+                         "pass checkpoint='dir:tag' / a .npz path, or "
+                         "random_init=True")
     return Pipeline(model, params)
 
 
