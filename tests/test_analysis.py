@@ -155,3 +155,31 @@ def test_bloch_animation_saves(tmp_path):
                                  save_path=str(out), fps=5)
     saved = list(tmp_path.iterdir())
     assert saved and saved[0].stat().st_size > 1000
+
+
+def test_compare_pulse_strategies(tmp_path):
+    """Strategy comparison: the shipped trained model should beat the
+    primitive pulse on X(pi) at sigma=1; figure + table render."""
+    from universal_quantum_optimal_control_tpu.analysis import (
+        build_score_pulses,
+        compare_pulse_strategies,
+    )
+    from universal_quantum_optimal_control_tpu.demo import app
+
+    app.load_pipeline.cache_clear()
+    model_pulses, q_t = app.compute_pulses("small_20", 1.0, 0.0, 0.0,
+                                           float(np.pi))
+    strategies = {
+        "model(small20)": model_pulses,
+        "SCORE4": build_score_pulses()["X(pi)"],
+        "primitive": np.asarray([[0.0, np.pi]], np.float32),
+    }
+    out = tmp_path / "compare.png"
+    summary, _ = compare_pulse_strategies(
+        strategies, q_t, stds=np.arange(0.1, 1.5, 0.1),
+        monte_carlo=2000, save_path=str(out))
+    assert out.stat().st_size > 10000
+    assert summary["model(small20)"]["EF"] > summary["primitive"]["EF"]
+    # the learned pulse is also shorter than SCORE4 (reference claim)
+    assert (summary["model(small20)"]["total_time_pi"]
+            < summary["SCORE4"]["total_time_pi"])

@@ -1,4 +1,4 @@
-from . import bloch, fits, plots, score_pulses  # noqa: F401
+from . import bloch, compare, fits, plots, score_pulses  # noqa: F401
 
 from .bloch import animate_bloch_ensemble, bloch_trajectories  # noqa: F401
 from .fits import piecewise_linear_eval, segmented_linear_fit  # noqa: F401
@@ -16,3 +16,4 @@ from .score_pulses import (  # noqa: F401
     build_score_pulses,
     score_n_config,
 )
+from .compare import compare_pulse_strategies  # noqa: F401
