@@ -144,3 +144,38 @@ def test_su4_gradients_flow():
     h = 1e-3
     fd = (loss(pulses + h * e) - loss(pulses - h * e)) / (2 * h)
     np.testing.assert_allclose(float(g[0, 1, 0]), float(fd), atol=1e-3)
+
+
+def test_su4_analysis_plots(tmp_path):
+    """Two-qubit fidelity surface peaks at zero disorder for a target that is
+    the zero-disorder propagation of the same pulses; plots render."""
+    from universal_quantum_optimal_control_tpu.analysis import (
+        fidelity_by_std_su4,
+        fidelity_contour_plot_su4,
+        fidelity_grid_su4,
+    )
+
+    sys_ = su4.TwoQubitSystem()
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    pulses = jnp.stack([
+        jax.random.uniform(k1, (6,), minval=-np.pi, maxval=np.pi),
+        jax.random.uniform(k2, (6,), minval=0.1, maxval=0.4)], axis=-1)
+    Ur, Ui = su4.propagate_su4(pulses[None], jnp.zeros(1), jnp.zeros(1),
+                               jnp.zeros(1), sys_)
+    target = jnp.stack([Ur[0], Ui[0]])  # packed (2, 4, 4)
+
+    dg, F = fidelity_grid_su4(pulses, target, sys_, n_delta=41)
+    i0 = np.argmin(np.abs(dg))
+    assert F[i0, i0] > 1 - 1e-4
+    assert np.all(F <= 1 + 1e-5)
+
+    out = tmp_path / "su4_contour.png"
+    fidelity_contour_plot_su4(pulses, target, sys_, save_path=str(out),
+                              n_delta=41)
+    assert out.stat().st_size > 10000
+
+    stds, mean, se = fidelity_by_std_su4(pulses, target, sys_,
+                                         stds=np.arange(0.1, 1.0, 0.2),
+                                         monte_carlo=256)
+    assert mean[0] > mean[-1]  # decays with disorder

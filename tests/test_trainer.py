@@ -188,3 +188,21 @@ def test_profile_trace_written(tmp_path):
     for root, _, files in os.walk(tmp_path / "prof"):
         found += [f for f in files if f.endswith((".pb", ".trace.json.gz"))]
     assert found, "no profiler trace files written"
+
+
+def test_bf16_transformer_training_runs_and_improves():
+    """The TPU-default bf16 compute path trains without NaNs and improves."""
+    model = UniversalQOCTransformer(
+        num_qubits=1, max_pulses=6, d_model=32, n_layers=2, n_heads=4,
+        dropout=0.1, dtype=jnp.bfloat16,
+        pulse_space=normalize_pulse_space({"phi": (-3.15, 3.15),
+                                           "tau": (0.1, 0.5)}))
+    rv, qt = x_gate_data()
+    cfg = TrainConfig(monte_carlo=64, batch_size=1, epochs=15,
+                      learning_rate=3e-3)
+    trainer = Trainer(model, cfg)
+    params, history = trainer.train(rv, qt, rv, qt,
+                                    curriculum=[CurriculumBand(0.1)])
+    h = history["bands"][0]
+    assert all(np.isfinite(v) for v in h["eval_fid"])
+    assert h["eval_fid"][-1] > h["eval_fid"][0]

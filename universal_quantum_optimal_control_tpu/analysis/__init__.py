@@ -1,4 +1,4 @@
-from . import bloch, compare, fits, plots, score_pulses  # noqa: F401
+from . import bloch, compare, fits, plots, plots_su4, score_pulses  # noqa: F401
 
 from .bloch import animate_bloch_ensemble, bloch_trajectories  # noqa: F401
 from .fits import piecewise_linear_eval, segmented_linear_fit  # noqa: F401
@@ -17,3 +17,8 @@ from .score_pulses import (  # noqa: F401
     score_n_config,
 )
 from .compare import compare_pulse_strategies  # noqa: F401
+from .plots_su4 import (  # noqa: F401
+    fidelity_by_std_su4,
+    fidelity_contour_plot_su4,
+    fidelity_grid_su4,
+)
