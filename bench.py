@@ -43,15 +43,37 @@ def measure() -> None:
     q_target = su2.quat_normalize(
         jax.random.normal(jax.random.PRNGKey(7), (B, 4)))
 
-    out = mean_fidelity_pallas(pulses, q_target, delta, eps)  # compile
-    jax.block_until_ready(out)
+    # Honest device-side timing: iterations are CHAINED inside one jitted
+    # lax.scan (each iteration's disorder depends on the previous result, so
+    # nothing is elided) and the host round trip is subtracted via a 1-call
+    # program.  Naive host loops over async dispatch overstate throughput
+    # badly on remote-device backends.
+    from jax import lax
 
-    iters = 30
+    iters = 16
+
+    @jax.jit
+    def run_chained(pulses, q_target, delta, eps):
+        def body(c, _):
+            f = mean_fidelity_pallas(pulses, q_target, delta + c, eps)
+            return jnp.mean(f) * 1e-12, f
+        _, fs = lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return fs
+
+    @jax.jit
+    def run_one(pulses, q_target, delta, eps):
+        return mean_fidelity_pallas(pulses, q_target, delta, eps)
+
+    _ = float(run_chained(pulses, q_target, delta, eps)[0, 0])  # compile+sync
+    _ = float(run_one(pulses, q_target, delta, eps)[0])
+
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = mean_fidelity_pallas(pulses, q_target, delta, eps)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    _ = float(run_chained(pulses, q_target, delta, eps)[0, 0])
+    t_full = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ = float(run_one(pulses, q_target, delta, eps)[0])
+    t_one = time.perf_counter() - t0
+    dt = max((t_full - t_one) / (iters - 1), 1e-9)
 
     props_per_sec = B * M / dt
     print(json.dumps({

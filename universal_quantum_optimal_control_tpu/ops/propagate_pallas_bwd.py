@@ -66,10 +66,14 @@ def _bwd_kernel(phi_ref, tau_ref, delta_ref, eps_ref, g_ref,
     anorm = jnp.sqrt(anorm2)
     inv_anorm = 1.0 / anorm
 
-    @pl.when(jnp.logical_and(b == 0, j == 0))
+    @pl.when(j == 0)
     def _():
-        dphi_ref[...] = jnp.zeros(dphi_ref.shape, dphi_ref.dtype)
-        dtau_ref[...] = jnp.zeros(dtau_ref.shape, dtau_ref.dtype)
+        # SMEM accepts only scalar stores: zero this target's rows one by one
+        def zero_k(k, _):
+            dphi_ref[b, k] = 0.0
+            dtau_ref[b, k] = 0.0
+            return 0
+        jax.lax.fori_loop(0, L, zero_k, 0)
 
     zero = jnp.zeros_like(delta)
     one = jnp.ones_like(delta)
