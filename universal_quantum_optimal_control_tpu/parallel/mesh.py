@@ -19,7 +19,28 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "DATA_AXIS", "MC_AXIS", "replicated", "shard_spec"]
+__all__ = ["make_mesh", "DATA_AXIS", "MC_AXIS", "replicated", "shard_spec",
+           "init_distributed"]
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initialize multi-host JAX (DCN) — call once per host before any
+    device use on multi-host pods.  After this, :func:`make_mesh` sees the
+    global device set; keep the ``mc`` axis within-host (ICI) and let
+    embarrassingly parallel work (curriculum bands, σ-sweep points —
+    SURVEY.md §2.3) ride ``data`` across hosts.
+
+    No-op on single-host (all arguments None and JAX already local).
+    """
+    if coordinator_address is None and num_processes is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 DATA_AXIS = "data"
 MC_AXIS = "mc"
