@@ -139,3 +139,19 @@ def test_shipped_small20_weights_load_and_perform():
     f, se = mc_fidelity_estimate(pulses, q_t, delta_std=0.4,
                                  monte_carlo=2000)
     assert f > 0.8, f
+
+
+def test_shipped_length100_weights_load_and_perform():
+    """The TPU-trained L=100 artifact: E[F] > 0.9 at sigma=0.4 on X(pi)."""
+    from universal_quantum_optimal_control_tpu.analysis import (
+        mc_fidelity_estimate,
+    )
+    from universal_quantum_optimal_control_tpu.demo import app
+
+    app.load_pipeline.cache_clear()
+    pulses, q_t = app.compute_pulses("length_100_med", 1.0, 0.0, 0.0,
+                                     float(np.pi))
+    assert pulses.shape == (100, 2)
+    f, se = mc_fidelity_estimate(pulses, q_t, delta_std=0.4,
+                                 monte_carlo=2000)
+    assert f > 0.9, f

@@ -33,7 +33,11 @@ _CONFIG_DIR = Path(__file__).parent.parent / "configs"
 _WEIGHTS_DIR = Path(__file__).parent / "weights"
 
 MODEL_VARIANTS: Dict[str, Dict] = {
-    # shipped pretrained artifact (trained in-repo; see weights/README.md)
+    # shipped pretrained artifacts (trained in-repo; see weights/README.md)
+    "length_100_med": {
+        "config": str(_CONFIG_DIR /
+                      "universal_single_qubit_length100_med.json"),
+        "checkpoint": str(_WEIGHTS_DIR / "length100_med.npz")},
     "small_20": {"config": str(_CONFIG_DIR /
                                "universal_single_qubit_small20.json"),
                  "checkpoint": str(_WEIGHTS_DIR / "small20.npz")},

@@ -42,15 +42,22 @@ def restore_checkpoint(base_dir: str, tag: str,
     ``target`` (an example pytree, e.g. from ``model.init``) restores with
     matching structure/dtypes; without it, raw arrays are returned.
     """
+    import numpy as np
+
     path = _ckpt_dir(base_dir, tag)
     ckptr = ocp.PyTreeCheckpointer()
+    # Restore as plain numpy, then align with the target tree: restoring as
+    # jax.Array ties leaves to the device sharding recorded at save time,
+    # which breaks cross-backend restores (e.g. TPU-trained -> CPU analysis).
+    meta = ckptr.metadata(path / "params")
+    meta_tree = meta.item_metadata.tree
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree)
+    params = ckptr.restore(path / "params", restore_args=restore_args)
     if target is not None:
-        restore_args = jax.tree_util.tree_map(
-            lambda x: ocp.ArrayRestoreArgs(dtype=x.dtype), target)
-        params = ckptr.restore(path / "params", item=target,
-                               restore_args=restore_args)
-    else:
-        params = ckptr.restore(path / "params")
+        import jax.numpy as jnp
+        params = jax.tree_util.tree_map(
+            lambda t, r: jnp.asarray(r, dtype=t.dtype), target, params)
     meta_path = path / "metadata.json"
     metadata = None
     if meta_path.exists():
