@@ -350,8 +350,8 @@ class Trainer:
                 pulses_out = []
                 for b in range(n_batches):
                     rv = train_rv[b * bs:(b + 1) * bs]
-                    params_p, rv, _ = self._place(params, rv,
-                                                  train_q_target[:bs])
+                    qt = train_q_target[b * bs:(b + 1) * bs]
+                    params_p, rv, _ = self._place(params, rv, qt)
                     pulses_out.append(_np.asarray(
                         self._apply_model(params_p, rv)))
                 _np.savez(f"{save_dir}/{tag}_pulses.npz",
