@@ -183,3 +183,22 @@ def test_compare_pulse_strategies(tmp_path):
     # the learned pulse is also shorter than SCORE4 (reference claim)
     assert (summary["model(small20)"]["total_time_pi"]
             < summary["SCORE4"]["total_time_pi"])
+
+
+def test_shipped_grape_pulse_dominates_baselines():
+    """The TPU-trained GRAPE X(pi) pulse beats SCORE4 and the primitive pulse
+    at strong disorder (the robustness hierarchy the framework exists for)."""
+    from pathlib import Path
+
+    csv = (Path(__file__).parent.parent
+           / "universal_quantum_optimal_control_tpu" / "demo" / "weights"
+           / "grape_x400_pulse.csv")
+    grape = np.loadtxt(csv, delimiter=",", skiprows=1)
+    q_ref = NAMED_QUATS["X(pi)"]
+    f_grape, _ = mc_fidelity_estimate(jnp.asarray(grape, jnp.float32), q_ref,
+                                      delta_std=1.0, monte_carlo=4000)
+    f_score, _ = mc_fidelity_estimate(
+        jnp.asarray(build_score_pulses()["X(pi)"]), q_ref,
+        delta_std=1.0, monte_carlo=4000)
+    assert f_grape > 0.9, f_grape
+    assert f_grape > f_score + 0.1, (f_grape, f_score)
