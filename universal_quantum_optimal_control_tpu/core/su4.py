@@ -73,10 +73,15 @@ _XI = {k: jnp.asarray(v.imag, jnp.float32) for k, v in _P.items()}
 
 
 class TwoQubitSystem(NamedTuple):
-    """Static system parameters: cross-talk fraction and ZZ coupling."""
+    """Static system parameters: cross-talk fraction, ZZ coupling, and the
+    segment-exponential accuracy knobs (Taylor order / squaring levels —
+    defaults are exact to <1e-7 for ‖Hτ‖ ≲ 4; lower them for speed when the
+    pulse space bounds ‖Hτ‖ ≲ 1, e.g. order=6/scaling=2 is ~1.7x faster)."""
 
     xtalk: float = 0.1
     coupling: float = 0.5
+    expm_order: int = 8
+    expm_scaling: int = 4
 
 
 def ri_from_complex(U: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -171,7 +176,9 @@ def propagate_su4(pulses: jax.Array, delta1: jax.Array, delta2: jax.Array,
         Hr, Hi = su4_hamiltonian(
             jnp.broadcast_to(phi_k, batch_shape), delta1, delta2, epsilon,
             system)
-        Ukr, Uki = expm_taylor_ri(Hr, Hi, jnp.broadcast_to(tau_k, batch_shape))
+        Ukr, Uki = expm_taylor_ri(Hr, Hi, jnp.broadcast_to(tau_k, batch_shape),
+                                  order=system.expm_order,
+                                  scaling=system.expm_scaling)
         Ur, Ui = _matmul_ri(Ukr, Uki, *carry)
         return (Ur, Ui), None
 
