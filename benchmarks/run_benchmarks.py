@@ -1,0 +1,142 @@
+"""Benchmark suite — honest device-side timings for the framework's hot paths.
+
+Prints one JSON line per benchmark.  All timings chain iterations inside one
+jitted program with a data dependency and subtract the host round trip (see
+bench.py) — naive host loops overstate throughput badly on remote-device
+backends.
+
+Usage:  python benchmarks/run_benchmarks.py  (runs on the default device)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def timed_chain(make_step, iters=12):
+    """Time `iters` chained evaluations of make_step(carry) -> (carry, out)."""
+    @jax.jit
+    def run_full():
+        c, _ = lax.scan(lambda c, _: make_step(c), jnp.float32(0.0), None,
+                        length=iters)
+        return c
+
+    @jax.jit
+    def run_one():
+        c, _ = make_step(jnp.float32(0.0))
+        return c
+
+    _ = float(run_full())
+    _ = float(run_one())
+    t0 = time.perf_counter(); _ = float(run_full()); t_full = time.perf_counter() - t0
+    t0 = time.perf_counter(); _ = float(run_one()); t_one = time.perf_counter() - t0
+    return max((t_full - t_one) / (iters - 1), 1e-9)
+
+
+def su2_inputs(B, L, M, key=0):
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(key), 4)
+    pulses = jnp.stack(
+        [jax.random.uniform(k1, (B, L), minval=-np.pi, maxval=np.pi),
+         jax.random.uniform(k2, (B, L), minval=0.05, maxval=0.5)], axis=-1)
+    delta = jax.random.normal(k3, (B, M))
+    eps = jax.random.normal(k4, (B, M)) * 0.05
+    return pulses, delta, eps
+
+
+def main() -> None:
+    from universal_quantum_optimal_control_tpu.core import propagate, su2, su4
+    from universal_quantum_optimal_control_tpu.ops import mean_fidelity_pallas
+    from universal_quantum_optimal_control_tpu.ops.propagate_pallas_bwd import (
+        propagate_mc_vjp_pallas,
+    )
+
+    results = []
+
+    def record(name, value, unit, **extra):
+        row = {"benchmark": name, "value": round(value, 1), "unit": unit,
+               **extra}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    # 1. fused forward+fidelity kernel (headline)
+    B, L, M = 8, 20, 1 << 20
+    pulses, delta, eps = su2_inputs(B, L, M)
+    qt = su2.quat_normalize(jax.random.normal(jax.random.PRNGKey(7), (B, 4)))
+
+    def step_pallas(c):
+        f = mean_fidelity_pallas(pulses, qt, delta + c, eps)
+        return jnp.mean(f) * 1e-12, None
+
+    dt = timed_chain(step_pallas)
+    record("su2_L20_pallas_fused_objective", B * M / dt, "props/s",
+           shape=f"B={B},L={L},M={M}")
+
+    # 2. XLA scan objective (same workload)
+    def step_xla(c):
+        q = propagate.propagate_mc(pulses, delta + c, eps)
+        f = jnp.mean(su2.quat_fidelity(q, qt[:, None, :]), axis=1)
+        return jnp.mean(f) * 1e-12, None
+
+    dt = timed_chain(step_xla)
+    record("su2_L20_xla_scan_objective", B * M / dt, "props/s")
+
+    # 3. fused backward kernel (pulse+disorder cotangents)
+    g = jax.random.normal(jax.random.PRNGKey(9), (B, 1 << 16, 4))
+    pulses2, delta2, eps2 = su2_inputs(B, L, 1 << 16, key=1)
+
+    def step_bwd(c):
+        dp, dd, de = propagate_mc_vjp_pallas(pulses2, delta2 + c, eps2, g)
+        return jnp.sum(dp) * 1e-12, None
+
+    dt = timed_chain(step_bwd)
+    record("su2_L20_pallas_fused_vjp", B * (1 << 16) / dt, "props/s")
+
+    # 4. objective value+grad, pallas fwd+bwd vs pure XLA
+    def vg(fn):
+        def step(c):
+            def loss(p):
+                return fn(p, delta2 + c, eps2)
+            l, gr = jax.value_and_grad(loss)(pulses2)
+            return l * 1e-12 + jnp.sum(gr) * 0.0, None
+        return step
+
+    def obj_pallas(p, d, e):
+        return jnp.mean(mean_fidelity_pallas(p, qt, d, e))
+
+    def obj_xla(p, d, e):
+        q = propagate.propagate_mc(p, d, e)
+        return jnp.mean(su2.quat_fidelity(q, qt[:, None, :]))
+
+    dt = timed_chain(vg(obj_pallas))
+    record("su2_L20_value_and_grad_pallas", B * (1 << 16) / dt, "props/s")
+    dt = timed_chain(vg(obj_xla))
+    record("su2_L20_value_and_grad_xla", B * (1 << 16) / dt, "props/s")
+
+    # 5. SU(4) two-qubit MC propagation
+    B4, L4, M4 = 8, 24, 2048
+    p4, d1, e4 = su2_inputs(B4, L4, M4, key=2)
+    d2 = jax.random.normal(jax.random.PRNGKey(3), (B4, M4))
+    system = su4.TwoQubitSystem()
+
+    def step_su4(c):
+        Ur, Ui = su4.propagate_su4_mc(p4, d1 + c, d2, e4, system)
+        return jnp.mean(Ur) * 1e-12, None
+
+    dt = timed_chain(step_su4, iters=4)
+    record("su4_L24_xla_mc_propagation", B4 * M4 / dt, "props/s")
+
+    print(json.dumps({"device": str(jax.devices()[0])}))
+
+
+if __name__ == "__main__":
+    main()

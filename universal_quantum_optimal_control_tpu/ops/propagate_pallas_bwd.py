@@ -84,7 +84,13 @@ def _bwd_kernel(phi_ref, tau_ref, delta_ref, eps_ref, g_ref,
                       anorm, inv_anorm)
         return _hprod(q, P)
 
-    P = jax.lax.fori_loop(0, L, fwd_body, (one, zero, zero, zero))
+    unroll = L <= 64  # static unroll for short sequences; fori for L=400
+    P = (one, zero, zero, zero)
+    if unroll:
+        for k in range(L):
+            P = fwd_body(k, P)
+    else:
+        P = jax.lax.fori_loop(0, L, fwd_body, P)
 
     g = (g_ref[0, 0], g_ref[0, 1], g_ref[0, 2], g_ref[0, 3])
 
@@ -136,8 +142,13 @@ def _bwd_kernel(phi_ref, tau_ref, delta_ref, eps_ref, g_ref,
         cL_next = _hprod(_conj(q), cL)
         return R, cL_next, dd + ddel_s, de + deps_s
 
-    init = (P, (one, zero, zero, zero), zero, zero)
-    _, _, dd, de = jax.lax.fori_loop(0, L, bwd_body, init)
+    carry = (P, (one, zero, zero, zero), zero, zero)
+    if unroll:
+        for i in range(L):
+            carry = bwd_body(i, carry)
+    else:
+        carry = jax.lax.fori_loop(0, L, bwd_body, carry)
+    _, _, dd, de = carry
     ddelta_ref[0] = dd
     deps_ref[0] = de
 
@@ -145,7 +156,7 @@ def _bwd_kernel(phi_ref, tau_ref, delta_ref, eps_ref, g_ref,
 @functools.partial(jax.jit, static_argnames=("tile_rows",))
 def propagate_mc_vjp_pallas(pulses: jax.Array, delta: jax.Array,
                             eps: jax.Array, g: jax.Array,
-                            tile_rows: int = 8) -> Tuple[jax.Array, ...]:
+                            tile_rows: int = 64) -> Tuple[jax.Array, ...]:
     """VJP of the MC propagator: cotangent ``g (B, M, 4)`` →
     ``(dpulses (B, L, 2), ddelta (B, M), deps (B, M))``.
 
