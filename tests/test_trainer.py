@@ -206,3 +206,19 @@ def test_bf16_transformer_training_runs_and_improves():
     h = history["bands"][0]
     assert all(np.isfinite(v) for v in h["eval_fid"])
     assert h["eval_fid"][-1] > h["eval_fid"][0]
+
+
+def test_fused_epoch_matches_structure_and_improves():
+    """fused_epoch=True (device-side minibatch scan) trains equivalently."""
+    model = GRAPE(num_pulses=12, pulse_space=normalize_pulse_space(
+        {"phi": (-3.15, 3.15), "tau": (0.1, 0.5)}))
+    rv, qt = build_su2_dataset(jax.random.PRNGKey(0), 8, random=True)
+    cfg = TrainConfig(monte_carlo=64, batch_size=4, epochs=12,
+                      learning_rate=3e-3, fused_epoch=True)
+    trainer = Trainer(model, cfg)
+    params, history = trainer.train(rv, qt, rv, qt,
+                                    curriculum=[CurriculumBand(0.1)])
+    h = history["bands"][0]
+    assert len(h["eval_fid"]) == 12
+    assert h["eval_fid"][-1] > h["eval_fid"][0]
+    assert all(np.isfinite(v) for v in h["eval_fid"])

@@ -155,3 +155,29 @@ def test_shipped_length100_weights_load_and_perform():
     f, se = mc_fidelity_estimate(pulses, q_t, delta_std=0.4,
                                  monte_carlo=2000)
     assert f > 0.9, f
+
+
+def test_universal_finetune_base_pulse_path(tmp_path):
+    """The finetune blend workflow: train with an explicit base pulse table
+    (the reference length_400 config semantics, minus torch.load-in-forward)."""
+    from universal_quantum_optimal_control_tpu.workloads import (
+        universal_single_qubit as w,
+    )
+
+    base = np.stack([np.zeros(6, np.float32),
+                     np.full(6, 0.3, np.float32)], axis=-1)
+    np.savez(tmp_path / "base.npz", pulses=base)
+    cfg = {
+        "num_qubits": 1,
+        "pulse_space": {"phi": [-3.15, 3.15], "tau": [-0.5, 0.5]},
+        "max_pulses": 6, "d_model": 16, "n_layers": 1, "n_heads": 2,
+        "dropout": 0.1, "finetune": str(tmp_path / "base.npz"),
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    w.main([
+        "--num_epoch", "1", "--save_path", str(tmp_path / "ft"),
+        "--config", str(cfg_path), "--batch_size", "4", "--monte_carlo", "16",
+        "--train_size", "16", "--eval_size", "4", "--fused_epoch",
+    ])
+    assert (tmp_path / "ft" / "metrics.csv").exists()

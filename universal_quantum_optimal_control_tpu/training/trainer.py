@@ -72,6 +72,9 @@ class TrainConfig:
     profile_steps: int = 3
     state_every: int = 0              # save full resume state every N epochs
     debug_nans: bool = False          # enable jax NaN checking for the run
+    fused_epoch: bool = False         # scan minibatches on-device per epoch
+                                      # (one host round trip per epoch — big
+                                      # win on remote-device backends)
 
 
 class Trainer:
@@ -116,6 +119,9 @@ class Trainer:
         self._mean_fid = make_objective(mesh, self.system.local_mean_fidelity)
         self._jit_train_step = jax.jit(self._train_step, donate_argnums=(0, 1))
         self._jit_eval_step = jax.jit(self._eval_step)
+        self._jit_train_epoch = jax.jit(self._train_epoch_scan,
+                                        donate_argnums=(0, 1))
+        self._jit_eval_epoch = jax.jit(self._eval_epoch_scan)
 
     # ------------------------------------------------------------------
     # Functional pieces
@@ -160,6 +166,40 @@ class Trainer:
             key, (B, self.config.monte_carlo), delta_std, epsilon_std)
         pulses = self._apply_model(params, rv)
         return self._mean_fid(pulses, target, errors)
+
+    # ------------------------------------------------------------------
+    # Fused epochs: scan minibatches on-device (one host RTT per epoch)
+    # ------------------------------------------------------------------
+
+    def _train_epoch_scan(self, params, opt_state, rv_batches, target_batches,
+                          key, delta_std, epsilon_std):
+        """rv_batches: ``(n_batches, bs, …)``; returns mean loss over them."""
+        n = rv_batches.shape[0]
+        keys = jax.random.split(key, n)
+
+        def body(carry, xs):
+            params, opt_state = carry
+            rv, target, k = xs
+            params, opt_state, loss, _ = self._train_step(
+                params, opt_state, rv, target, k, delta_std, epsilon_std)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (rv_batches, target_batches, keys))
+        return params, opt_state, jnp.mean(losses)
+
+    def _eval_epoch_scan(self, params, rv_batches, target_batches, key,
+                         delta_std, epsilon_std):
+        n = rv_batches.shape[0]
+        keys = jax.random.split(key, n)
+
+        def body(_, xs):
+            rv, target, k = xs
+            return None, self._eval_step(params, rv, target, k, delta_std,
+                                         epsilon_std)
+
+        _, fids = jax.lax.scan(body, None, (rv_batches, target_batches, keys))
+        return jnp.mean(fids)
 
     # ------------------------------------------------------------------
     # Data placement
@@ -266,38 +306,57 @@ class Trainer:
             d_std = jnp.float32(band.delta_std)
             e_std = jnp.float32(band.epsilon_std)
 
+            if cfg.fused_epoch:
+                train_rv_b = train_rv[: n_batches * bs].reshape(
+                    (n_batches, bs) + train_rv.shape[1:])
+                train_qt_b = train_q_target[: n_batches * bs].reshape(
+                    (n_batches, bs) + train_q_target.shape[1:])
+                eval_rv_b = eval_rv[: n_eval_batches * eval_bs].reshape(
+                    (n_eval_batches, eval_bs) + eval_rv.shape[1:])
+                eval_qt_b = eval_q_target[: n_eval_batches * eval_bs].reshape(
+                    (n_eval_batches, eval_bs) + eval_q_target.shape[1:])
+
             epoch0 = start_epoch if band_idx == start_band else 0
             for epoch in range(epoch0, epochs):
                 t_epoch = _time.perf_counter()
-                losses = []
-                for b in range(n_batches):
-                    rv = train_rv[b * bs:(b + 1) * bs]
-                    qt = train_q_target[b * bs:(b + 1) * bs]
-                    params_p, rv, qt = self._place(params, rv, qt)
-                    key, sub = jax.random.split(key)
-                    if profiling and steps_done == 1:
-                        # skip step 0 (compile); trace the steady state
-                        jax.profiler.start_trace(cfg.profile_dir)
-                    params, opt_state, loss, _ = self._jit_train_step(
-                        params_p, opt_state, rv, qt, sub, d_std, e_std)
-                    steps_done += 1
-                    if profiling and steps_done == 1 + cfg.profile_steps:
-                        jax.block_until_ready(loss)
-                        jax.profiler.stop_trace()
-                        profiling = False
-                    losses.append(loss)
+                if cfg.fused_epoch:
+                    key, k_train, k_eval = jax.random.split(key, 3)
+                    params, opt_state, loss = self._jit_train_epoch(
+                        params, opt_state, train_rv_b, train_qt_b, k_train,
+                        d_std, e_std)
+                    train_loss = float(loss)
+                    eval_fid = float(self._jit_eval_epoch(
+                        params, eval_rv_b, eval_qt_b, k_eval, d_std, e_std))
+                else:
+                    losses = []
+                    for b in range(n_batches):
+                        rv = train_rv[b * bs:(b + 1) * bs]
+                        qt = train_q_target[b * bs:(b + 1) * bs]
+                        params_p, rv, qt = self._place(params, rv, qt)
+                        key, sub = jax.random.split(key)
+                        if profiling and steps_done == 1:
+                            # skip step 0 (compile); trace the steady state
+                            jax.profiler.start_trace(cfg.profile_dir)
+                        params, opt_state, loss, _ = self._jit_train_step(
+                            params_p, opt_state, rv, qt, sub, d_std, e_std)
+                        steps_done += 1
+                        if profiling and steps_done == 1 + cfg.profile_steps:
+                            jax.block_until_ready(loss)
+                            jax.profiler.stop_trace()
+                            profiling = False
+                        losses.append(loss)
 
-                fids = []
-                for b in range(n_eval_batches):
-                    rv = eval_rv[b * eval_bs:(b + 1) * eval_bs]
-                    qt = eval_q_target[b * eval_bs:(b + 1) * eval_bs]
-                    params_p, rv, qt = self._place(params, rv, qt)
-                    key, sub = jax.random.split(key)
-                    fids.append(self._jit_eval_step(
-                        params_p, rv, qt, sub, d_std, e_std))
+                    fids = []
+                    for b in range(n_eval_batches):
+                        rv = eval_rv[b * eval_bs:(b + 1) * eval_bs]
+                        qt = eval_q_target[b * eval_bs:(b + 1) * eval_bs]
+                        params_p, rv, qt = self._place(params, rv, qt)
+                        key, sub = jax.random.split(key)
+                        fids.append(self._jit_eval_step(
+                            params_p, rv, qt, sub, d_std, e_std))
 
-                train_loss = float(jnp.mean(jnp.stack(losses)))
-                eval_fid = float(jnp.mean(jnp.stack(fids)))
+                    train_loss = float(jnp.mean(jnp.stack(losses)))
+                    eval_fid = float(jnp.mean(jnp.stack(fids)))
                 band_hist["train_loss"].append(train_loss)
                 band_hist["eval_fid"].append(eval_fid)
 

@@ -47,7 +47,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--train_size", type=int, default=10000)
     p.add_argument("--eval_size", type=int, default=1000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fused_epoch", action="store_true",
+                   help="scan minibatches on-device (one host round trip "
+                        "per epoch — recommended on remote-device backends)")
+    p.add_argument("--finetune_base", type=str, default=None,
+                   help="path to a base pulse table (.npz with 'pulses' or "
+                        ".csv) for the finetune blend; implied by a string "
+                        "'finetune' field in the config (reference "
+                        "length_400 config semantics)")
     return p
+
+
+def load_base_pulse(path: str):
+    """Load a base pulse table for the finetune blend (npz or csv)."""
+    import numpy as np
+
+    if path.endswith(".npz"):
+        data = np.load(path)
+        arr = data["pulses"] if "pulses" in data else data[data.files[0]]
+    else:
+        arr = np.loadtxt(path, delimiter=",", skiprows=1)
+    arr = np.asarray(arr, np.float32)
+    if arr.ndim == 3:  # saved batch — use the first sequence
+        arr = arr[0]
+    return arr[None]  # (1, L, P), broadcasts over the batch
 
 
 def main(argv=None) -> None:
@@ -56,7 +79,11 @@ def main(argv=None) -> None:
     model_params = load_model_params(args.config)
     model_params["pulse_space"] = normalize_pulse_space(
         model_params["pulse_space"])
-    model_params["finetune"] = bool(model_params.get("finetune"))
+    finetune_cfg = model_params.get("finetune")
+    base_path = args.finetune_base or (
+        finetune_cfg if isinstance(finetune_cfg, str) else None)
+    base_pulse = load_base_pulse(base_path) if base_path else None
+    model_params["finetune"] = base_pulse is not None
     model = UniversalQOCTransformer(**model_params)
 
     mesh = None
@@ -68,8 +95,9 @@ def main(argv=None) -> None:
         monte_carlo=args.monte_carlo, batch_size=args.batch_size,
         epochs=args.num_epoch, learning_rate=args.learning_rate,
         loss="sharp", backend=args.backend, seed=args.seed,
+        fused_epoch=args.fused_epoch,
     )
-    trainer = Trainer(model, cfg, mesh=mesh)
+    trainer = Trainer(model, cfg, mesh=mesh, base_pulse=base_pulse)
 
     key = jax.random.PRNGKey(args.seed)
     k1, k2 = jax.random.split(key)
