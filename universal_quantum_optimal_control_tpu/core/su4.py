@@ -76,9 +76,11 @@ _XI = {k: jnp.asarray(v.imag, jnp.float32) for k, v in _P.items()}
 
 class TwoQubitSystem(NamedTuple):
     """Static system parameters: cross-talk fraction, ZZ coupling, and the
-    segment-exponential accuracy knobs (Taylor order / squaring levels —
-    defaults are exact to <1e-7 for ‖Hτ‖ ≲ 4; lower them for speed when the
-    pulse space bounds ‖Hτ‖ ≲ 1, e.g. order=6/scaling=2 is ~1.7x faster)."""
+    segment-exponential accuracy knobs (Taylor order / squaring levels).
+    The order-8 default uses a Paterson–Stockmeyer evaluation (4 matmuls +
+    squarings) and is exact to <1e-7 for ‖Hτ‖ ≲ 4; measured on v5e it is
+    also FASTER than lower-order term chains (more matmul parallelism), so
+    only change these for accuracy reasons."""
 
     xtalk: float = 0.1
     coupling: float = 0.5
