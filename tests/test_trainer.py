@@ -222,3 +222,17 @@ def test_fused_epoch_matches_structure_and_improves():
     assert len(h["eval_fid"]) == 12
     assert h["eval_fid"][-1] > h["eval_fid"][0]
     assert all(np.isfinite(v) for v in h["eval_fid"])
+
+
+def test_cosine_schedule_trains():
+    model = GRAPE(num_pulses=10, pulse_space=normalize_pulse_space(
+        {"phi": (-3.15, 3.15), "tau": (0.1, 0.5)}))
+    rv, qt = x_gate_data()
+    cfg = TrainConfig(monte_carlo=64, batch_size=1, epochs=15,
+                      learning_rate=1e-2, lr_schedule="cosine",
+                      lr_schedule_steps=15)
+    trainer = Trainer(model, cfg)
+    params, history = trainer.train(rv, qt, rv, qt,
+                                    curriculum=[CurriculumBand(0.1)])
+    h = history["bands"][0]
+    assert h["eval_fid"][-1] > h["eval_fid"][0]

@@ -62,6 +62,8 @@ class TrainConfig:
     batch_size: int = 200
     epochs: int = 100
     learning_rate: float = 3e-5       # reference trainer.py:46
+    lr_schedule: str = "constant"     # "constant" | "cosine" (5% warmup,
+    lr_schedule_steps: int = 0        #   cosine to 10% over this many steps)
     grad_clip: float = 1.0            # reference trainer.py:91
     loss: str = "sharp"
     loss_tau_bar: float = 0.99
@@ -104,9 +106,23 @@ class Trainer:
         self.base_pulse = base_pulse
         self.system = system if system is not None else SU2System(config.backend)
 
+        if config.lr_schedule == "cosine":
+            total = max(config.lr_schedule_steps, 1)
+            warmup = max(total // 20, 1)
+            lr = optax.warmup_cosine_decay_schedule(
+                init_value=config.learning_rate * 0.05,
+                peak_value=config.learning_rate,
+                warmup_steps=warmup,
+                decay_steps=total,
+                end_value=config.learning_rate * 0.1,
+            )
+        elif config.lr_schedule == "constant":
+            lr = config.learning_rate
+        else:
+            raise ValueError(f"unknown lr_schedule: {config.lr_schedule}")
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(config.grad_clip),
-            optax.adam(config.learning_rate),
+            optax.adam(lr),
         )
 
         base_loss = LOSSES[config.loss]

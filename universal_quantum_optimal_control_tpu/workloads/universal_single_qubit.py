@@ -40,6 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reference: 200 for L=100, 50 for L=400")
     p.add_argument("--monte_carlo", type=int, default=1000)
     p.add_argument("--learning_rate", type=float, default=3e-5)
+    p.add_argument("--lr_schedule", type=str, default="constant",
+                   choices=["constant", "cosine"])
     p.add_argument("--backend", type=str, default="xla",
                    choices=["xla", "pallas"])
     p.add_argument("--mesh", type=str, default=None,
@@ -95,7 +97,9 @@ def main(argv=None) -> None:
         monte_carlo=args.monte_carlo, batch_size=args.batch_size,
         epochs=args.num_epoch, learning_rate=args.learning_rate,
         loss="sharp", backend=args.backend, seed=args.seed,
-        fused_epoch=args.fused_epoch,
+        fused_epoch=args.fused_epoch, lr_schedule=args.lr_schedule,
+        lr_schedule_steps=3 * args.num_epoch * max(args.train_size
+                                                   // args.batch_size, 1),
     )
     trainer = Trainer(model, cfg, mesh=mesh, base_pulse=base_pulse)
 
