@@ -52,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fused_epoch", action="store_true",
                    help="scan minibatches on-device (one host round trip "
                         "per epoch — recommended on remote-device backends)")
+    p.add_argument("--f32", action="store_true",
+                   help="run the encoder in float32 (default bfloat16)")
     p.add_argument("--finetune_base", type=str, default=None,
                    help="path to a base pulse table (.npz with 'pulses' or "
                         ".csv) for the finetune blend; implied by a string "
@@ -86,6 +88,9 @@ def main(argv=None) -> None:
         finetune_cfg if isinstance(finetune_cfg, str) else None)
     base_pulse = load_base_pulse(base_path) if base_path else None
     model_params["finetune"] = base_pulse is not None
+    if args.f32:
+        import jax.numpy as jnp
+        model_params["dtype"] = jnp.float32
     model = UniversalQOCTransformer(**model_params)
 
     mesh = None
