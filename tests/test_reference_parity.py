@@ -180,3 +180,34 @@ def test_dataset_matches_reference_grid_structure():
     # our quaternions match our rotation vectors (U built the same way)
     np.testing.assert_allclose(
         np.asarray(su2.quat_to_su2(q_ours))[0].shape, (2, 2))
+
+
+def test_dcrab_objective_matches_reference_module():
+    """Our jitted dCRAB infidelity equals the reference's NumPy objective
+    (train/dCRAB/dCRAB.py:26-59) on identical parameters, frequencies, and
+    disorder samples."""
+    from train.dCRAB import dCRAB as ref_dcrab
+
+    from universal_quantum_optimal_control_tpu.optimizers import dcrab
+
+    rng = np.random.default_rng(11)
+    N, T, dt, S = 4, 1.5, 0.05, 6
+    t = np.arange(0, T, dt)
+    omegas = rng.uniform(0.1, 6.0, N)
+    params = np.concatenate([[0.2], 0.1 * rng.standard_normal(2 * N)])
+    deltas = rng.normal(0, 0.4, S)
+    epss = rng.normal(0, 0.05, S)
+    X, Y, Z = ref_dcrab.pauli_matrices()
+    from scipy.linalg import expm as scipy_expm
+    U_target = scipy_expm(-1j * (np.pi / 2) * X / 2)
+
+    ref_val = ref_dcrab.average_infidelity(
+        params, t, omegas, U_target, deltas, epss, X, Y, Z)
+
+    from universal_quantum_optimal_control_tpu.core.su2 import su2_to_quat
+    got = dcrab.average_infidelity(
+        jnp.asarray(params, jnp.float32), jnp.asarray(t, jnp.float32),
+        jnp.asarray(omegas, jnp.float32),
+        su2_to_quat(jnp.asarray(U_target, jnp.complex64)),
+        jnp.asarray(deltas, jnp.float32), jnp.asarray(epss, jnp.float32), dt)
+    np.testing.assert_allclose(float(got), ref_val, atol=3e-4)

@@ -236,3 +236,24 @@ def test_cosine_schedule_trains():
                                     curriculum=[CurriculumBand(0.1)])
     h = history["bands"][0]
     assert h["eval_fid"][-1] > h["eval_fid"][0]
+
+
+def test_sharded_pallas_backend_on_mesh():
+    """shard_map + the Pallas kernel (interpret mode on CPU): per-shard MC
+    slices stay lane-aligned and match the local XLA objective."""
+    mesh = make_mesh(8, data=2, mc=4)
+    B, L, M = 4, 6, 4 * 128  # 128 samples per mc shard
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    pulses = jnp.stack([
+        jax.random.uniform(k1, (B, L), minval=-np.pi, maxval=np.pi),
+        jax.random.uniform(k2, (B, L), minval=0.05, maxval=0.5)], axis=-1)
+    qt = su2.quat_normalize(jax.random.normal(k3, (B, 4)))
+    delta = jax.random.normal(k4, (B, M))
+    eps = jax.random.normal(k5, (B, M)) * 0.05
+
+    local = make_mean_fidelity(None, backend="xla")
+    sharded_pallas = make_mean_fidelity(mesh, backend="pallas")
+    f_local = local(pulses, qt, delta, eps)
+    f_shard = jax.jit(sharded_pallas)(pulses, qt, delta, eps)
+    np.testing.assert_allclose(float(f_local), float(f_shard), atol=1e-5)

@@ -57,6 +57,7 @@ def make_mean_fidelity(mesh: Optional[Mesh] = None, backend: str = "xla"):
         in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS, MC_AXIS),
                   P(DATA_AXIS, MC_AXIS)),
         out_specs=P(),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotations
     )
     def _sharded(pulses, q_target, delta, eps):
         f_local = mean_fidelity_local(pulses, q_target, delta, eps, backend)

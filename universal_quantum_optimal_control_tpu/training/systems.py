@@ -40,6 +40,7 @@ def make_objective(mesh: Optional[Mesh], local_fn):
         mesh=mesh,
         in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS, MC_AXIS)),
         out_specs=P(),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotations
     )
     def objective(pulses, target, errors):
         f_local = local_fn(pulses, target, errors)
