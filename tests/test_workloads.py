@@ -181,3 +181,22 @@ def test_universal_finetune_base_pulse_path(tmp_path):
         "--train_size", "16", "--eval_size", "4", "--fused_epoch",
     ])
     assert (tmp_path / "ft" / "metrics.csv").exists()
+
+
+def test_unified_run_cli(tmp_path):
+    from universal_quantum_optimal_control_tpu.workloads import run as runner
+
+    cfg = {
+        "workload": "grape_single_qubit",
+        "model": {"pulse_space": {"phi": [-3.15, 3.15], "tau": [0.1, 0.5]},
+                  "num_pulses": 8},
+        "train": {"monte_carlo": 32, "batch_size": 4, "epochs": 2,
+                  "learning_rate": 3e-3},
+        "curriculum": [{"delta_std": 0.2}],
+        "train_set_size": 16,
+        "eval_set_size": 4,
+    }
+    p = tmp_path / "run.json"
+    p.write_text(json.dumps(cfg))
+    runner.main([str(p), "--save_path", str(tmp_path / "out")])
+    assert (tmp_path / "out" / "metrics.csv").exists()

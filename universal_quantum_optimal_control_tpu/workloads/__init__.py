@@ -1,4 +1,5 @@
 from . import (  # noqa: F401
+    run,
     dcrab_single_qubit,
     grape_single_qubit,
     two_qubit,
