@@ -69,9 +69,11 @@ def pauli_strings() -> dict:
 
 
 _P = pauli_strings()
-# real/imag split constants, float32
-_XR = {k: jnp.asarray(v.real, jnp.float32) for k, v in _P.items()}
-_XI = {k: jnp.asarray(v.imag, jnp.float32) for k, v in _P.items()}
+# real/imag split constants, float32 — kept as HOST numpy arrays: module-level
+# device arrays would be embedded as constants at jit-lowering time via a
+# device-to-host fetch (slow/fragile on remote-device backends)
+_XR = {k: np.asarray(v.real, np.float32) for k, v in _P.items()}
+_XI = {k: np.asarray(v.imag, np.float32) for k, v in _P.items()}
 
 
 class TwoQubitSystem(NamedTuple):
