@@ -257,3 +257,17 @@ def test_sharded_pallas_backend_on_mesh():
     f_local = local(pulses, qt, delta, eps)
     f_shard = jax.jit(sharded_pallas)(pulses, qt, delta, eps)
     np.testing.assert_allclose(float(f_local), float(f_shard), atol=1e-5)
+
+
+def test_reset_optimizer_per_band():
+    model = GRAPE(num_pulses=8, pulse_space=normalize_pulse_space(
+        {"phi": (-3.15, 3.15), "tau": (0.1, 0.5)}))
+    rv, qt = x_gate_data()
+    cfg = TrainConfig(monte_carlo=32, batch_size=1, epochs=5,
+                      learning_rate=3e-3, reset_optimizer_per_band=True)
+    trainer = Trainer(model, cfg)
+    params, history = trainer.train(
+        rv, qt, rv, qt, curriculum=[CurriculumBand(0.1), CurriculumBand(0.2)])
+    assert len(history["bands"]) == 2
+    assert all(np.isfinite(v) for b in history["bands"]
+               for v in b["eval_fid"])

@@ -77,6 +77,9 @@ class TrainConfig:
     fused_epoch: bool = False         # scan minibatches on-device per epoch
                                       # (one host round trip per epoch — big
                                       # win on remote-device backends)
+    reset_optimizer_per_band: bool = False  # fresh Adam moments per band
+                                      # (reference keeps one optimizer across
+                                      # the curriculum — trainer.py:46)
 
 
 class Trainer:
@@ -309,6 +312,8 @@ class Trainer:
                     "band": dataclasses.asdict(band), "eval_fid": [],
                     "train_loss": [], "best_fid": None, "skipped_resume": True})
                 continue
+            if cfg.reset_optimizer_per_band and band_idx > start_band:
+                opt_state = self.optimizer.init(params)
             if band_idx == start_band and resume_best_params is not None:
                 best_fid = resume_best_fid
                 best_params = resume_best_params
