@@ -74,9 +74,17 @@ class SU4System:
         self.system = su4_mod.TwoQubitSystem(xtalk=xtalk, coupling=coupling)
 
     @staticmethod
-    def pack_target(U: jax.Array) -> jax.Array:
-        """Complex ``(B, 4, 4)`` targets → real ``(B, 2, 4, 4)``."""
-        return jnp.stack([jnp.real(U), jnp.imag(U)], axis=1).astype(jnp.float32)
+    def pack_target(U) -> jax.Array:
+        """Complex ``(B, 4, 4)`` targets → real ``(B, 2, 4, 4)``.
+
+        The split runs on HOST numpy: eager complex ops on remote-device
+        backends are fragile (and pointless for a one-time featurization).
+        """
+        import numpy as np
+
+        U = np.asarray(U)
+        return jnp.asarray(np.stack([U.real, U.imag], axis=1)
+                           .astype(np.float32))
 
     def sample_errors(self, key, shape, delta_std, epsilon_std):
         k1, k2, k3 = jax.random.split(key, 3)
