@@ -12,6 +12,7 @@ from .su2 import (  # noqa: F401
     quat_trace_inner,
     rotation_vector_to_quat,
     segment_quat,
+    segment_quat_amp,
     su2_to_quat,
 )
 from .propagate import (  # noqa: F401

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .su2 import quat_multiply, quat_to_su2, segment_quat
+from .su2 import quat_multiply, quat_to_su2, segment_quat, segment_quat_amp
 
 __all__ = [
     "propagate_scan",
@@ -38,10 +38,21 @@ __all__ = [
 
 
 def _segment_quats(pulses: jax.Array, delta: jax.Array, epsilon: jax.Array) -> jax.Array:
-    """Per-segment quaternions ``(..., L, 4)`` from pulses ``(..., L, 2)``."""
-    phi = pulses[..., 0]
-    tau = pulses[..., 1]
-    return segment_quat(phi, tau, delta[..., None], epsilon[..., None])
+    """Per-segment quaternions ``(..., L, 4)`` from pulses.
+
+    Pulse-space dispatch on the trailing parameter count:
+      P = 2 → ``(φ, τ)`` fixed-amplitude drive (reference contract);
+      P = 3 → ``(φ, Ω, τ)`` amplitude-modulated drive.
+    """
+    P = pulses.shape[-1]
+    if P == 2:
+        return segment_quat(pulses[..., 0], pulses[..., 1],
+                            delta[..., None], epsilon[..., None])
+    if P == 3:
+        return segment_quat_amp(pulses[..., 0], pulses[..., 1],
+                                pulses[..., 2],
+                                delta[..., None], epsilon[..., None])
+    raise ValueError(f"unsupported pulse parameter count: {P} (want 2 or 3)")
 
 
 def propagate_scan(pulses: jax.Array, delta: jax.Array, epsilon: jax.Array,

@@ -36,6 +36,7 @@ __all__ = [
     "axis_angle_to_quat",
     "rotation_vector_to_quat",
     "segment_quat",
+    "segment_quat_amp",
     "quat_to_su2",
     "su2_to_quat",
     "quat_trace_inner",
@@ -129,6 +130,35 @@ def segment_quat(
     s = jnp.sin(half) / anorm  # sin(half) * (unit-axis scale)
     comps = jnp.broadcast_arrays(
         w, s * jnp.cos(phi), s * jnp.sin(phi), s * delta)
+    return jnp.stack(comps, axis=-1)
+
+
+def segment_quat_amp(
+    phi: jax.Array,
+    omega: jax.Array,
+    tau: jax.Array,
+    delta: jax.Array,
+    epsilon: jax.Array,
+) -> jax.Array:
+    r"""Amplitude-modulated segment propagator quaternion.
+
+    Generalizes :func:`segment_quat` to a 3-parameter pulse space (φ, Ω, τ):
+
+        H = ½·(1 + ε)·(Ω·cos φ·σx + Ω·sin φ·σy + δ·σz),   U = exp(−i·H·τ)
+
+    i.e. a controllable Rabi amplitude Ω (the reference declares the general
+    P-parameter ``pulse_space`` interface — universal_model.py:31, test.py's
+    (Δ, Ω, φ, t) space — but its generator asserts P = 2; here Ω is a
+    first-class control, enabling e.g. free evolution segments (Ω→0) that
+    the fixed-amplitude drive cannot express).  Ω ≤ 0 is clamped to 0.
+    """
+    omega = jnp.maximum(omega, 0.0)
+    anorm = jnp.sqrt(omega * omega + delta * delta)
+    half = 0.5 * tau * (1.0 + epsilon) * anorm
+    w = jnp.cos(half)
+    s = jnp.sin(half) / jnp.maximum(anorm, 1e-12)
+    comps = jnp.broadcast_arrays(
+        w, s * omega * jnp.cos(phi), s * omega * jnp.sin(phi), s * delta)
     return jnp.stack(comps, axis=-1)
 
 

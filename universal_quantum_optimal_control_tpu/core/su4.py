@@ -100,14 +100,18 @@ def complex_from_ri(Ur: jax.Array, Ui: jax.Array) -> jax.Array:
 
 def su4_hamiltonian(phi: jax.Array, delta1: jax.Array, delta2: jax.Array,
                     epsilon: jax.Array,
-                    system: TwoQubitSystem) -> Tuple[jax.Array, jax.Array]:
+                    system: TwoQubitSystem,
+                    omega: jax.Array = None) -> Tuple[jax.Array, jax.Array]:
     """H as (real, imag) float32 pair, broadcasting over leading axes.
 
-    phi/delta/epsilon: ``(...,)`` → ``(..., 4, 4)`` each.
+    phi/delta/epsilon: ``(...,)`` → ``(..., 4, 4)`` each.  ``omega`` (optional)
+    scales the drive amplitude (3-parameter pulse space); default 1.
     """
     c = jnp.cos(phi)
     s = jnp.sin(phi)
     amp = 0.5 * (1.0 + epsilon)
+    if omega is not None:
+        amp = amp * jnp.maximum(omega, 0.0)
     chi = system.xtalk
 
     def mix(table):
@@ -189,8 +193,12 @@ def propagate_su4(pulses: jax.Array, delta1: jax.Array, delta2: jax.Array,
     pulses: ``(..., L, 2)`` (φ, τ); disorder: ``(...,)`` each.
     Returns (re, im) pair ``(..., 4, 4)``.
     """
+    P = pulses.shape[-1]
     phi = jnp.moveaxis(pulses[..., 0], -1, 0)  # (L, ...)
-    tau = jnp.moveaxis(pulses[..., 1], -1, 0)
+    tau = jnp.moveaxis(pulses[..., -1], -1, 0)
+    omega = jnp.moveaxis(pulses[..., 1], -1, 0) if P == 3 else None
+    if P not in (2, 3):
+        raise ValueError(f"unsupported pulse parameter count: {P}")
 
     batch_shape = jnp.broadcast_shapes(
         phi.shape[1:], delta1.shape, delta2.shape, epsilon.shape)
@@ -200,17 +208,23 @@ def propagate_su4(pulses: jax.Array, delta1: jax.Array, delta2: jax.Array,
             jnp.zeros(batch_shape + (4, 4), jnp.float32))
 
     def body(carry, pt):
-        phi_k, tau_k = pt
+        if omega is None:
+            phi_k, tau_k = pt
+            om_k = None
+        else:
+            phi_k, om_k, tau_k = pt
+            om_k = jnp.broadcast_to(om_k, batch_shape)
         Hr, Hi = su4_hamiltonian(
             jnp.broadcast_to(phi_k, batch_shape), delta1, delta2, epsilon,
-            system)
+            system, omega=om_k)
         Ukr, Uki = expm_taylor_ri(Hr, Hi, jnp.broadcast_to(tau_k, batch_shape),
                                   order=system.expm_order,
                                   scaling=system.expm_scaling)
         Ur, Ui = _matmul_ri(Ukr, Uki, *carry)
         return (Ur, Ui), None
 
-    (Ur, Ui), _ = jax.lax.scan(body, init, (phi, tau))
+    xs = (phi, tau) if omega is None else (phi, omega, tau)
+    (Ur, Ui), _ = jax.lax.scan(body, init, xs)
     return Ur, Ui
 
 

@@ -40,13 +40,21 @@ class GRAPE(nn.Module):
         B = rotation_vector.shape[0]
         L = self.num_pulses
 
+        P = len(self.pulse_space)
+        n_logits = P + 1  # (u_x, u_y) -> phi, plus one channel per extra param
+
         if self.direct:
             logits = self.param(
                 "pulse_logits",
                 nn.initializers.normal(0.1),
-                (B, L, 3),
+                (B, L, n_logits),
             )
         else:
+            if P != 2:
+                raise ValueError(
+                    "the reference MLP reparameterization is defined for the "
+                    "2-parameter (phi, tau) space; use direct=True for "
+                    "general pulse spaces")
             h = nn.Dense(3 * L, use_bias=False, name="fc1")(rotation_vector)
             h = nn.relu(h)
             h = nn.Dense(3 * L, use_bias=False, name="fc2")(h)
@@ -54,8 +62,7 @@ class GRAPE(nn.Module):
 
         u = jax.nn.sigmoid(logits)
         phi_unit = jnp.arctan2(u[..., 1], u[..., 0])
-        tau_unit = u[..., 2]
-        units = jnp.stack([phi_unit, tau_unit], axis=-1)
+        units = jnp.concatenate([phi_unit[..., None], u[..., 2:]], axis=-1)
 
         low = jnp.asarray([lo for _, (lo, _) in self.pulse_space], jnp.float32)
         high = jnp.asarray([hi for _, (_, hi) in self.pulse_space], jnp.float32)
