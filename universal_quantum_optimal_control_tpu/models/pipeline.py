@@ -51,15 +51,16 @@ class Pipeline:
         self.params = params
         self.base_pulse = base_pulse
 
+        import inspect
+
+        has_det = "deterministic" in inspect.signature(
+            type(model).__call__).parameters
+
         def _forward(p, rotation_vector):
-            kwargs = {"deterministic": True}
+            kwargs = {"deterministic": True} if has_det else {}
             if getattr(model, "finetune", False):
-                return model.apply(p, rotation_vector, base_pulse=base_pulse,
-                                   **kwargs)
-            try:
-                return model.apply(p, rotation_vector, **kwargs)
-            except TypeError:  # models without a deterministic flag (GRAPE)
-                return model.apply(p, rotation_vector)
+                kwargs["base_pulse"] = base_pulse
+            return model.apply(p, rotation_vector, **kwargs)
 
         self._forward = jax.jit(_forward)
 

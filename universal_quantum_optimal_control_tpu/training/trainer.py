@@ -147,19 +147,20 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _apply_model(self, params, rv, dropout_key=None):
+        import inspect
+
         kwargs: Dict[str, Any] = {}
-        if dropout_key is not None:
+        # pass dropout controls only to models that declare them (GRAPE etc.
+        # have no dropout) — signature inspection instead of a try/except
+        # TypeError, which would mask real errors raised inside the model
+        has_det = "deterministic" in inspect.signature(
+            type(self.model).__call__).parameters
+        if dropout_key is not None and has_det:
             kwargs["deterministic"] = False
             kwargs["rngs"] = {"dropout": dropout_key}
         if getattr(self.model, "finetune", False):
             kwargs["base_pulse"] = self.base_pulse
-        try:
-            return self.model.apply(params, rv, **kwargs)
-        except TypeError:
-            # models without dropout/deterministic arguments (e.g. GRAPE)
-            kwargs.pop("deterministic", None)
-            kwargs.pop("rngs", None)
-            return self.model.apply(params, rv, **kwargs)
+        return self.model.apply(params, rv, **kwargs)
 
     def _objective(self, params, rv, target, errors, dropout_key):
         pulses = self._apply_model(params, rv, dropout_key)
