@@ -11,7 +11,7 @@ segments of a composite pulse sequence entirely in VMEM/registers:
   the chip instead of ``O(B·M)`` quaternions.
 
 Layout: the fused Monte-Carlo axis is reshaped to ``(rows, 128)`` so samples
-map onto VPU lanes; tiles of 256 rows are processed per grid step.  The full
+map onto VPU lanes; tiles of 128 rows are processed per grid step (swept).  The full
 ``(B, L)`` pulse tables are tiny and live in SMEM, indexed by the target
 grid coordinate — one scalar broadcast per segment against the sample tile.
 
@@ -39,7 +39,7 @@ from ..core import su2
 __all__ = ["propagate_mc_pallas", "mean_fidelity_pallas"]
 
 LANES = 128
-_DEF_ROWS = 256  # rows per tile; 256*128 samples * ~9 f32 arrays ≈ 1.2 MB VMEM
+_DEF_ROWS = 128  # rows per tile (swept on v5e: 128 beats 64/256/512 by 5-20%)
 
 
 def _interpret() -> bool:

@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", type=str, default="xla",
                    choices=["xla", "pallas"])
     p.add_argument("--mesh", type=str, default=None)
+    p.add_argument("--fused_epoch", action="store_true")
+    p.add_argument("--lr_schedule", type=str, default="constant",
+                   choices=["constant", "cosine"])
     p.add_argument("--direct", action="store_true",
                    help="optimize raw pulse logits (classic GRAPE) instead "
                         "of the reference MLP reparameterization")
@@ -61,6 +64,8 @@ def main(argv=None) -> None:
         monte_carlo=args.monte_carlo, batch_size=args.batch_size,
         epochs=args.num_epoch, learning_rate=args.learning_rate,
         loss="sharp", backend=args.backend, seed=args.seed,
+        fused_epoch=args.fused_epoch, lr_schedule=args.lr_schedule,
+        lr_schedule_steps=3 * args.num_epoch * max(args.batch_size, 1),
     )
     trainer = Trainer(model, cfg, mesh=mesh)
 

@@ -54,6 +54,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--learning_rate", type=float, default=3e-5)
     p.add_argument("--train_size", type=int, default=256)
     p.add_argument("--eval_size", type=int, default=64)
+    p.add_argument("--fused_epoch", action="store_true")
     p.add_argument("--pretrained_single_qubit", type=str, default=None,
                    help="checkpoint dir:tag of a single-qubit model whose "
                         "encoder is transplanted before finetuning")
@@ -80,7 +81,7 @@ def main(argv=None) -> None:
     cfg = TrainConfig(
         monte_carlo=args.monte_carlo, batch_size=args.batch_size,
         epochs=args.num_epoch, learning_rate=args.learning_rate,
-        loss="sharp", seed=args.seed,
+        loss="sharp", seed=args.seed, fused_epoch=args.fused_epoch,
     )
     trainer = Trainer(model, cfg, system=system)
 
