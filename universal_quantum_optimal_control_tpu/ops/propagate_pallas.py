@@ -15,9 +15,10 @@ map onto VPU lanes; tiles of 128 rows are processed per grid step (swept).  The 
 ``(B, L)`` pulse tables are tiny and live in SMEM, indexed by the target
 grid coordinate — one scalar broadcast per segment against the sample tile.
 
-The backward pass routes through the XLA reference implementation
-(:mod:`..core.propagate`) via ``jax.custom_vjp`` — correctness-identical, and
-the backward is an equally fused elementwise scan.
+The backward pass is ALSO a fused Pallas kernel
+(:mod:`.propagate_pallas_bwd`): a reverse sweep that reconstructs prefix
+products by inverse Hamilton products — zero stored residuals (the XLA scan
+VJP would store all L carries).
 
 Reference being replaced: ``batched_unitary_generator``
 (train/unitary_single_qubit_gate/universal_single_qubit_SCORE.py:77-145).
