@@ -166,3 +166,19 @@ def test_dataset_builder_grid_and_random():
     np.testing.assert_allclose(
         q_r, su2.rotation_vector_to_quat(rv_r), atol=1e-5
     )
+
+
+def test_grape_direct_params_are_batch_independent():
+    """Regression (ADVICE r1): direct-mode pulse table must not bind its
+    shape to the init batch — init with 2 rows, apply with 100."""
+    model = GRAPE(num_pulses=5, direct=True,
+                  pulse_space=normalize_pulse_space(
+                      {"phi": (-3.15, 3.15), "tau": (0.1, 0.5)}))
+    rv2 = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0, np.pi]], jnp.float32), (2, 1))
+    params = model.init(jax.random.PRNGKey(0), rv2)
+    assert params["params"]["pulse_logits"].shape == (1, 5, 3)
+    rv100 = jnp.tile(rv2[:1], (100, 1))
+    pulses = model.apply(params, rv100)
+    assert pulses.shape == (100, 5, 2)
+    # broadcast: every row is the same table
+    np.testing.assert_allclose(np.asarray(pulses[0]), np.asarray(pulses[99]))

@@ -70,10 +70,44 @@ def test_uneven_mc_rows_tile():
     np.testing.assert_allclose(np.asarray(q_pallas), np.asarray(q_xla), atol=1e-5)
 
 
-def test_rejects_unaligned_mc():
-    pulses, delta, eps = make_inputs(B=1, L=4, M=256)
-    with pytest.raises(ValueError):
-        pk.propagate_mc_pallas(pulses, delta[:, :100], eps[:, :100])
+def test_unaligned_mc_is_padded_exactly():
+    """M not a multiple of 128 (e.g. the workload CLIs' --monte_carlo 1000
+    default) is zero-padded inside the wrappers and sliced/masked back out —
+    results identical to the XLA path at the true M."""
+    pulses, delta, eps = make_inputs(B=2, L=6, M=256)
+    delta, eps = delta[:, :100], eps[:, :100]
+
+    q_pallas = pk.propagate_mc_pallas(pulses, delta, eps)
+    q_xla = xla_prop.propagate_mc(pulses, delta, eps)
+    assert q_pallas.shape == (2, 100, 4)
+    np.testing.assert_allclose(np.asarray(q_pallas), np.asarray(q_xla),
+                               atol=1e-5)
+
+    q_t = su2.quat_normalize(jax.random.normal(jax.random.PRNGKey(3), (2, 4)))
+    f_pallas = pk.mean_fidelity_pallas(pulses, q_t, delta, eps)
+    f_xla = jnp.mean(su2.quat_fidelity(q_xla, q_t[:, None, :]), axis=1)
+    np.testing.assert_allclose(np.asarray(f_pallas), np.asarray(f_xla),
+                               atol=1e-5)
+
+
+def test_unaligned_mc_gradients_match_xla():
+    pulses, delta, eps = make_inputs(B=2, L=5, M=256, seed=7)
+    delta, eps = delta[:, :200], eps[:, :200]
+    q_t = su2.quat_normalize(jax.random.normal(jax.random.PRNGKey(4), (2, 4)))
+
+    def obj_pallas(p, d, e):
+        return jnp.sum(pk.mean_fidelity_pallas(p, q_t, d, e))
+
+    def obj_xla(p, d, e):
+        q = xla_prop.propagate_mc(p, d, e)
+        return jnp.sum(jnp.mean(su2.quat_fidelity(q, q_t[:, None, :]), axis=1))
+
+    g_p = jax.grad(obj_pallas, argnums=(0, 1, 2))(pulses, delta, eps)
+    g_x = jax.grad(obj_xla, argnums=(0, 1, 2))(pulses, delta, eps)
+    for a, b in zip(g_p, g_x):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
 
 
 def test_pallas_bwd_kernel_matches_xla_vjp():

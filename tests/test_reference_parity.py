@@ -177,9 +177,21 @@ def test_dataset_matches_reference_grid_structure():
     np.testing.assert_allclose(nz_ours, nz_ref, atol=1e-5)
     np.testing.assert_allclose(np.asarray(rv_ours[:, 3]),
                                rv_ref[:, 3].numpy(), atol=1e-5)
-    # our quaternions match our rotation vectors (U built the same way)
-    np.testing.assert_allclose(
-        np.asarray(su2.quat_to_su2(q_ours))[0].shape, (2, 2))
+    # our quaternions encode the same unitaries the reference builds from the
+    # rotation vectors (U = expm(-i θ/2 n̂·σ), SCORE.py:243-248) — check
+    # trace fidelity of quat_to_su2(q) against an independent scipy expm
+    from scipy.linalg import expm as scipy_expm
+    X = np.array([[0, 1], [1, 0]], complex)
+    Y = np.array([[0, -1j], [1j, 0]], complex)
+    Z = np.array([[1, 0], [0, -1]], complex)
+    U_ours = np.asarray(su2.quat_to_su2(q_ours))
+    rv_np = np.asarray(rv_ours, np.float64)
+    for i in range(0, 100, 7):
+        n = rv_np[i, :3] / np.linalg.norm(rv_np[i, :3])
+        U_exp = scipy_expm(-0.5j * rv_np[i, 3]
+                           * (n[0] * X + n[1] * Y + n[2] * Z))
+        tr = np.trace(U_exp.conj().T @ U_ours[i])
+        assert abs(abs(tr) / 2.0 - 1.0) < 1e-5, (i, tr)
 
 
 def test_dcrab_objective_matches_reference_module():

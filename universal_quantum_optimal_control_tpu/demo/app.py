@@ -166,9 +166,18 @@ def launch_gradio(checkpoints: Dict[str, str], share: bool = False):
     return demo
 
 
+def default_variant() -> str:
+    """The flagship variant if its weights ship, else the best shipped one —
+    so the README quickstart (no flags) always works."""
+    for name in ("length_100", "length_100_med", "small_20"):
+        if MODEL_VARIANTS[name]["checkpoint"] is not None:
+            return name
+    return "length_100_med"
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="QOC demo")
-    p.add_argument("--variant", default="length_100",
+    p.add_argument("--variant", default=default_variant(),
                    choices=list(MODEL_VARIANTS))
     p.add_argument("--checkpoint", default=None, help="'dir:tag'")
     p.add_argument("--random-init", action="store_true")

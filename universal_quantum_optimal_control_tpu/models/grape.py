@@ -9,8 +9,13 @@ lands in (0, π/2) *before* the affine range map — documented reference
 behavior, GRAPE_model.py:80-89), because the smooth surjection is what GRAPE
 optimizes through.
 
-A second, simpler mode (``direct=True``) optimizes the raw ``(B, L, 3)``
-logits as a parameter table with no MLP — the classic GRAPE formulation.
+A second, simpler mode (``direct=True``) optimizes a raw
+``(num_targets, L, n)`` logit table with no MLP — the classic GRAPE
+formulation.  The table is batch-independent: with the default
+``num_targets=1`` it broadcasts over the input batch (classic per-target
+GRAPE conditions on ONE target; disorder robustness comes from the MC axis),
+so the parameter shape never depends on the batch the model was initialized
+with.
 """
 
 from __future__ import annotations
@@ -33,6 +38,8 @@ class GRAPE(nn.Module):
     num_pulses: int = 400
     num_qubits: int = 1
     direct: bool = False
+    num_targets: int = 1  # direct mode: rows in the pulse table (static —
+                          # NOT tied to the batch the model was init'd with)
 
     @nn.compact
     def __call__(self, rotation_vector: jax.Array) -> jax.Array:
@@ -47,8 +54,15 @@ class GRAPE(nn.Module):
             logits = self.param(
                 "pulse_logits",
                 nn.initializers.normal(0.1),
-                (B, L, n_logits),
+                (self.num_targets, L, n_logits),
             )
+            if self.num_targets == 1:
+                logits = jnp.broadcast_to(logits, (B, L, n_logits))
+            elif self.num_targets != B:
+                raise ValueError(
+                    f"direct GRAPE with num_targets={self.num_targets} "
+                    f"requires the full target batch (B={B}) each call; "
+                    "train full-batch or use num_targets=1")
         else:
             if P != 2:
                 raise ValueError(

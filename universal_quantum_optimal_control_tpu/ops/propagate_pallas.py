@@ -95,7 +95,8 @@ def _prop_kernel(phi_ref, tau_ref, delta_ref, eps_ref, out_ref, *, L):
     out_ref[0, 3] = qz
 
 
-def _fid_kernel(phi_ref, tau_ref, qt_ref, delta_ref, eps_ref, sum_ref, *, L):
+def _fid_kernel(phi_ref, tau_ref, qt_ref, delta_ref, eps_ref, sum_ref, *, L,
+                M_valid, tr):
     b = pl.program_id(0)
     delta = delta_ref[0]
     eps = eps_ref[0]
@@ -107,6 +108,14 @@ def _fid_kernel(phi_ref, tau_ref, qt_ref, delta_ref, eps_ref, sum_ref, *, L):
     F = (4.0 * inner * inner + 2.0) / 6.0
     j = pl.program_id(1)
 
+    if M_valid is not None:
+        # M was padded up to a lane multiple: mask padded samples out of the
+        # mean (global sample index = (j·tr + row)·LANES + lane)
+        row = jax.lax.broadcasted_iota(jnp.int32, F.shape, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, F.shape, 1)
+        idx = (j * tr + row) * LANES + lane
+        F = jnp.where(idx < M_valid, F, 0.0)
+
     @pl.when(j == 0)
     def _():
         sum_ref[b, 0] = 0.0
@@ -114,9 +123,26 @@ def _fid_kernel(phi_ref, tau_ref, qt_ref, delta_ref, eps_ref, sum_ref, *, L):
     sum_ref[b, 0] += jnp.sum(F)
 
 
+def _pad_mc(*arrays):
+    """Pad the trailing MC axis of each ``(B, M)``/``(B, M, k)`` array with
+    zeros up to the next multiple of ``LANES``.  Returns the padded arrays and
+    the original M (zero disorder is numerically safe: ‖axis‖ = 1)."""
+    M = arrays[0].shape[1]
+    Mp = -(-M // LANES) * LANES
+    if Mp == M:
+        return arrays + (M,)
+    out = []
+    for a in arrays:
+        pad = [(0, 0)] * a.ndim
+        pad[1] = (0, Mp - M)
+        out.append(jnp.pad(a, pad))
+    return tuple(out) + (M,)
+
+
 def _mc_grid(B: int, M: int, tile_rows: int) -> Tuple[int, int, int]:
     if M % LANES != 0:
-        raise ValueError(f"MC sample count must be a multiple of {LANES}, got {M}")
+        raise ValueError(f"MC sample count must be a multiple of {LANES}, "
+                         f"got {M} (wrappers pad via _pad_mc)")
     rows = M // LANES
     tr = min(tile_rows, rows)
     while rows % tr != 0:
@@ -127,8 +153,12 @@ def _mc_grid(B: int, M: int, tile_rows: int) -> Tuple[int, int, int]:
 
 @functools.partial(jax.jit, static_argnames=("tile_rows",))
 def _propagate_mc_pallas_raw(pulses, delta, eps, tile_rows=_DEF_ROWS):
-    """(B, L, 2) pulses × (B, M) disorder → (B, M, 4) quaternions."""
+    """(B, L, 2) pulses × (B, M) disorder → (B, M, 4) quaternions.
+
+    M need not be a lane multiple: the MC axis is zero-padded up to one and
+    the padded rows are sliced off the result (exact)."""
     B, L, _ = pulses.shape
+    delta, eps, M_orig = _pad_mc(delta, eps)
     M = delta.shape[1]
     rows, tr, ntiles = _mc_grid(B, M, tile_rows)
     phi = pulses[..., 0]  # (B, L)
@@ -157,15 +187,17 @@ def _propagate_mc_pallas_raw(pulses, delta, eps, tile_rows=_DEF_ROWS):
         ),
         interpret=_interpret(),
     )(phi, tau, delta_r, eps_r)
-    return jnp.moveaxis(out, 1, -1).reshape(B, M, 4)
+    return jnp.moveaxis(out, 1, -1).reshape(B, M, 4)[:, :M_orig]
 
 
 @jax.custom_vjp
 def propagate_mc_pallas(pulses: jax.Array, delta: jax.Array, eps: jax.Array) -> jax.Array:
     """Monte-Carlo–fused Pallas propagator: ``(B,L,2) × (B,M) → (B,M,4)``.
 
-    Forward runs the fused Mosaic kernel; backward differentiates the XLA
-    reference scan (identical math) — see module docstring.
+    Forward runs the fused Mosaic kernel; backward is the fused Pallas
+    reverse-sweep kernel (:func:`.propagate_pallas_bwd.propagate_mc_vjp_pallas`
+    — inverse-quaternion prefix reconstruction, zero stored residuals), NOT
+    autodiff through XLA — see module docstring.
     """
     return _propagate_mc_pallas_raw(pulses, delta, eps)
 
@@ -187,6 +219,7 @@ propagate_mc_pallas.defvjp(_fwd, _bwd)
 @functools.partial(jax.jit, static_argnames=("tile_rows",))
 def _mean_fid_raw(pulses, q_target, delta, eps, tile_rows=_DEF_ROWS):
     B, L, _ = pulses.shape
+    delta, eps, M_orig = _pad_mc(delta, eps)
     M = delta.shape[1]
     rows, tr, ntiles = _mc_grid(B, M, tile_rows)
     phi = pulses[..., 0]
@@ -195,7 +228,8 @@ def _mean_fid_raw(pulses, q_target, delta, eps, tile_rows=_DEF_ROWS):
     eps_r = eps.reshape(B, rows, LANES)
 
     sums = pl.pallas_call(
-        functools.partial(_fid_kernel, L=L),
+        functools.partial(_fid_kernel, L=L,
+                          M_valid=(M_orig if M_orig != M else None), tr=tr),
         grid=(B, ntiles),
         in_specs=[
             pl.BlockSpec((B, L), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
@@ -216,7 +250,7 @@ def _mean_fid_raw(pulses, q_target, delta, eps, tile_rows=_DEF_ROWS):
         ),
         interpret=_interpret(),
     )(phi, tau, q_target, delta_r, eps_r)
-    return sums[:, 0] / M
+    return sums[:, 0] / M_orig
 
 
 @jax.custom_vjp

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .propagate_pallas import LANES, _interpret, _mc_grid
+from .propagate_pallas import LANES, _interpret, _mc_grid, _pad_mc
 
 __all__ = ["propagate_mc_vjp_pallas"]
 
@@ -162,8 +162,13 @@ def propagate_mc_vjp_pallas(pulses: jax.Array, delta: jax.Array,
 
     One fused kernel: forward product rebuild + reverse sweep, no stored
     per-segment residuals.
+
+    M need not be a lane multiple: disorder and cotangents are zero-padded
+    (a zero cotangent contributes exactly zero to every gradient), and the
+    padded per-sample gradients are sliced off.
     """
     B, L, _ = pulses.shape
+    delta, eps, g, M_orig = _pad_mc(delta, eps, g)
     M = delta.shape[1]
     rows, tr, ntiles = _mc_grid(B, M, tile_rows)
     phi = pulses[..., 0]
@@ -207,4 +212,5 @@ def propagate_mc_vjp_pallas(pulses: jax.Array, delta: jax.Array,
     )(phi, tau, delta_r, eps_r, g_r)
 
     dpulses = jnp.stack([dphi, dtau], axis=-1)
-    return dpulses, ddelta.reshape(B, M), deps.reshape(B, M)
+    return (dpulses, ddelta.reshape(B, M)[:, :M_orig],
+            deps.reshape(B, M)[:, :M_orig])

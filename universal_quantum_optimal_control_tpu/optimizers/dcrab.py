@@ -266,7 +266,15 @@ def optimize_dcrab_nm(
     """Derivative-free dCRAB.  JAX-native batched Nelder–Mead by default
     (all rounds advance in lockstep on-device); ``use_scipy=True`` runs
     SciPy per-round over the jitted objective (the reference's exact loop,
-    dCRAB.py:91-124, with maxiter 1000)."""
+    dCRAB.py:91-124, with maxiter 1000).
+
+    Scale note: Nelder–Mead is a simplex method — at the reference's headline
+    configuration (N=2000 modes ⇒ 4001 parameters, dCRAB.py:134-142) a
+    simplex barely moves in ``maxiter`` iterations regardless of
+    implementation (the simplex itself has 4002 vertices).  At that scale use
+    :func:`optimize_dcrab_grad` (15 s on one chip, BENCHMARKS.md); NM mode is
+    intended for the low-dimensional regimes dCRAB is normally run in
+    (N ≲ 30) and is tested there."""
     cfg = config
     key = key if key is not None else jax.random.PRNGKey(cfg.seed)
     t, delta, eps, omegas, x0, q_target = _setup(u_target, cfg, key)

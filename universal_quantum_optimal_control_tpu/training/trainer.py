@@ -74,9 +74,12 @@ class TrainConfig:
     profile_steps: int = 3
     state_every: int = 0              # save full resume state every N epochs
     debug_nans: bool = False          # enable jax NaN checking for the run
-    fused_epoch: bool = False         # scan minibatches on-device per epoch
+    fused_epoch: bool = True          # scan minibatches on-device per epoch
                                       # (one host round trip per epoch — big
-                                      # win on remote-device backends)
+                                      # win on remote-device backends); the
+                                      # unfused path is kept for per-step
+                                      # profiling and is selected
+                                      # automatically when profile_dir is set
     reset_optimizer_per_band: bool = False  # fresh Adam moments per band
                                       # (reference keeps one optimizer across
                                       # the curriculum — trainer.py:46)
@@ -225,12 +228,24 @@ class Trainer:
     # Data placement
     # ------------------------------------------------------------------
 
-    def _place(self, params, rv, q_target):
+    def _place_params(self, params):
+        """Replicate params over the mesh ONCE (per band / call site) — the
+        jitted steps preserve the sharding of their inputs, so re-placing
+        every minibatch would be redundant host/ICI traffic."""
         if self.mesh is None:
-            return params, rv, q_target
-        params = jax.device_put(params, replicated(self.mesh))
+            return params
+        return jax.device_put(params, replicated(self.mesh))
+
+    def _place_data(self, rv, q_target):
+        if self.mesh is None:
+            return rv, q_target
         rv = jax.device_put(rv, shard_spec(self.mesh, DATA_AXIS))
         q_target = jax.device_put(q_target, shard_spec(self.mesh, DATA_AXIS))
+        return rv, q_target
+
+    def _place(self, params, rv, q_target):
+        params = self._place_params(params)
+        rv, q_target = self._place_data(rv, q_target)
         return params, rv, q_target
 
     # ------------------------------------------------------------------
@@ -305,6 +320,8 @@ class Trainer:
                                                        st.best_fid)
 
         profiling = cfg.profile_dir is not None
+        # fused epochs hide per-step boundaries; profiling needs them
+        fused = cfg.fused_epoch and not profiling
         steps_done = 0
 
         for band_idx, band in enumerate(curriculum):
@@ -327,8 +344,9 @@ class Trainer:
                          "train_loss": []}
             d_std = jnp.float32(band.delta_std)
             e_std = jnp.float32(band.epsilon_std)
+            params = self._place_params(params)  # once per band, not per step
 
-            if cfg.fused_epoch:
+            if fused:
                 train_rv_b = train_rv[: n_batches * bs].reshape(
                     (n_batches, bs) + train_rv.shape[1:])
                 train_qt_b = train_q_target[: n_batches * bs].reshape(
@@ -341,7 +359,7 @@ class Trainer:
             epoch0 = start_epoch if band_idx == start_band else 0
             for epoch in range(epoch0, epochs):
                 t_epoch = _time.perf_counter()
-                if cfg.fused_epoch:
+                if fused:
                     key, k_train, k_eval = jax.random.split(key, 3)
                     params, opt_state, loss = self._jit_train_epoch(
                         params, opt_state, train_rv_b, train_qt_b, k_train,
@@ -354,13 +372,13 @@ class Trainer:
                     for b in range(n_batches):
                         rv = train_rv[b * bs:(b + 1) * bs]
                         qt = train_q_target[b * bs:(b + 1) * bs]
-                        params_p, rv, qt = self._place(params, rv, qt)
+                        rv, qt = self._place_data(rv, qt)
                         key, sub = jax.random.split(key)
                         if profiling and steps_done == 1:
                             # skip step 0 (compile); trace the steady state
                             jax.profiler.start_trace(cfg.profile_dir)
                         params, opt_state, loss, _ = self._jit_train_step(
-                            params_p, opt_state, rv, qt, sub, d_std, e_std)
+                            params, opt_state, rv, qt, sub, d_std, e_std)
                         steps_done += 1
                         if profiling and steps_done == 1 + cfg.profile_steps:
                             jax.block_until_ready(loss)
@@ -372,10 +390,10 @@ class Trainer:
                     for b in range(n_eval_batches):
                         rv = eval_rv[b * eval_bs:(b + 1) * eval_bs]
                         qt = eval_q_target[b * eval_bs:(b + 1) * eval_bs]
-                        params_p, rv, qt = self._place(params, rv, qt)
+                        rv, qt = self._place_data(rv, qt)
                         key, sub = jax.random.split(key)
                         fids.append(self._jit_eval_step(
-                            params_p, rv, qt, sub, d_std, e_std))
+                            params, rv, qt, sub, d_std, e_std))
 
                     train_loss = float(jnp.mean(jnp.stack(losses)))
                     eval_fid = float(jnp.mean(jnp.stack(fids)))
@@ -390,8 +408,10 @@ class Trainer:
                 if logger is not None:
                     dt = _time.perf_counter() - t_epoch
                     # sequence propagations per second (the headline metric):
-                    # every train step propagates bs × monte_carlo sequences
-                    props = (n_batches + n_eval_batches) * bs * cfg.monte_carlo
+                    # a train step propagates bs × MC sequences, an eval step
+                    # eval_bs × MC (eval_bs may be smaller — count it as such)
+                    props = (n_batches * bs
+                             + n_eval_batches * eval_bs) * cfg.monte_carlo
                     logger.log(
                         band=band_idx, delta_std=band.delta_std,
                         epsilon_std=band.epsilon_std, epoch=epoch,

@@ -35,12 +35,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", type=str, default="xla",
                    choices=["xla", "pallas"])
     p.add_argument("--mesh", type=str, default=None)
-    p.add_argument("--fused_epoch", action="store_true")
+    p.add_argument("--fused_epoch", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="scan minibatches on-device per epoch (default "
+                        "on; --no-fused_epoch for per-step stepping)")
     p.add_argument("--lr_schedule", type=str, default="constant",
                    choices=["constant", "cosine"])
     p.add_argument("--direct", action="store_true",
                    help="optimize raw pulse logits (classic GRAPE) instead "
-                        "of the reference MLP reparameterization")
+                        "of the reference MLP reparameterization; trains a "
+                        "single-target pulse table for --target_axis/theta")
+    p.add_argument("--target_axis", type=str, default="1,0,0",
+                   help="direct mode: rotation axis of the single target")
+    p.add_argument("--target_theta", type=float, default=3.141592653589793,
+                   help="direct mode: rotation angle of the single target")
     p.add_argument("--seed", type=int, default=42)
     return p
 
@@ -71,9 +79,23 @@ def main(argv=None) -> None:
 
     key = jax.random.PRNGKey(args.seed)
     k1, k2 = jax.random.split(key)
-    train_rv, train_qt = build_su2_dataset(
-        k1, args.batch_size ** 2, random=False)
-    eval_rv, eval_qt = build_su2_dataset(k2, args.batch_size, random=True)
+    if args.direct:
+        # classic GRAPE: one pulse table, one target; robustness comes from
+        # the Monte-Carlo disorder axis, not target diversity
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..core.su2 import rotation_vector_to_quat
+        n = np.asarray([float(v) for v in args.target_axis.split(",")])
+        n = n / max(np.linalg.norm(n), 1e-12)
+        train_rv = jnp.asarray(
+            [[n[0], n[1], n[2], args.target_theta]], jnp.float32)
+        train_qt = rotation_vector_to_quat(train_rv)
+        eval_rv, eval_qt = train_rv, train_qt
+    else:
+        train_rv, train_qt = build_su2_dataset(
+            k1, args.batch_size ** 2, random=False)
+        eval_rv, eval_qt = build_su2_dataset(k2, args.batch_size, random=True)
 
     curriculum = [CurriculumBand(d) for d in (0.4, 0.7, 1.0)]
 

@@ -54,7 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--learning_rate", type=float, default=3e-5)
     p.add_argument("--train_size", type=int, default=256)
     p.add_argument("--eval_size", type=int, default=64)
-    p.add_argument("--fused_epoch", action="store_true")
+    p.add_argument("--fused_epoch", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="scan minibatches on-device per epoch (default "
+                        "on; --no-fused_epoch for per-step stepping)")
     p.add_argument("--pretrained_single_qubit", type=str, default=None,
                    help="checkpoint dir:tag of a single-qubit model whose "
                         "encoder is transplanted before finetuning")

@@ -49,11 +49,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--train_size", type=int, default=10000)
     p.add_argument("--eval_size", type=int, default=1000)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--fused_epoch", action="store_true",
+    p.add_argument("--fused_epoch", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="scan minibatches on-device (one host round trip "
-                        "per epoch — recommended on remote-device backends)")
+                        "per epoch — default on; --no-fused_epoch for "
+                        "per-step stepping/profiling)")
     p.add_argument("--f32", action="store_true",
                    help="run the encoder in float32 (default bfloat16)")
+    p.add_argument("--reset_opt_per_band", action="store_true",
+                   help="fresh Adam moments at each curriculum band (the "
+                        "recipe that stabilizes the d512×8 flagship; the "
+                        "reference keeps one optimizer across bands)")
+    p.add_argument("--state_every", type=int, default=0,
+                   help="checkpoint FULL resume state every N epochs")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest saved state in --save_path")
+    p.add_argument("--epochs_per_band", type=int, default=None,
+                   help="alias for --num_epoch (epochs per curriculum band)")
     p.add_argument("--finetune_base", type=str, default=None,
                    help="path to a base pulse table (.npz with 'pulses' or "
                         ".csv) for the finetune blend; implied by a string "
@@ -98,13 +110,17 @@ def main(argv=None) -> None:
         d, m = (int(x) for x in args.mesh.split(","))
         mesh = make_mesh(data=d, mc=m)
 
+    epochs = (args.epochs_per_band if args.epochs_per_band is not None
+              else args.num_epoch)
     cfg = TrainConfig(
         monte_carlo=args.monte_carlo, batch_size=args.batch_size,
-        epochs=args.num_epoch, learning_rate=args.learning_rate,
+        epochs=epochs, learning_rate=args.learning_rate,
         loss="sharp", backend=args.backend, seed=args.seed,
         fused_epoch=args.fused_epoch, lr_schedule=args.lr_schedule,
-        lr_schedule_steps=3 * args.num_epoch * max(args.train_size
-                                                   // args.batch_size, 1),
+        lr_schedule_steps=3 * epochs * max(args.train_size
+                                           // args.batch_size, 1),
+        reset_optimizer_per_band=args.reset_opt_per_band,
+        state_every=args.state_every,
     )
     trainer = Trainer(model, cfg, mesh=mesh, base_pulse=base_pulse)
 
