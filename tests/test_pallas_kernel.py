@@ -148,3 +148,32 @@ def test_mean_fidelity_pallas_full_gradient_chain():
     for a, b in zip(g_p, g_x):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_poly_sincos_variant_matches_native():
+    """The fused polynomial sincos path (UQOC_SINCOS=poly) must agree with
+    the libm path to <1e-5 across the full disorder range, including tail
+    samples that cross the pi/2 reduction boundary."""
+    pulses, delta, eps = make_inputs(B=2, L=20, M=256, seed=11)
+    delta = delta * 3.0  # tail samples: half-angle up to ~0.8*pi
+    q_native = pk._propagate_mc_pallas_raw(pulses, delta, eps,
+                                           sincos="native")
+    q_poly = pk._propagate_mc_pallas_raw(pulses, delta, eps, sincos="poly")
+    np.testing.assert_allclose(np.asarray(q_poly), np.asarray(q_native),
+                               atol=1e-5)
+
+    q_t = su2.quat_normalize(jax.random.normal(jax.random.PRNGKey(2), (2, 4)))
+    f_native = pk._mean_fid_raw(pulses, q_t, delta, eps, sincos="native")
+    f_poly = pk._mean_fid_raw(pulses, q_t, delta, eps, sincos="poly")
+    np.testing.assert_allclose(np.asarray(f_poly), np.asarray(f_native),
+                               atol=1e-5)
+
+
+def test_poly_sincos_primitive_accuracy():
+    """_sincos_poly vs numpy over a wide range (several reduction periods)."""
+    x = jnp.asarray(np.linspace(-12.0, 12.0, 20001), jnp.float32)
+    s, c = pk._sincos_poly(x)
+    np.testing.assert_allclose(np.asarray(s), np.sin(np.asarray(x)),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(c), np.cos(np.asarray(x)),
+                               atol=2e-6)

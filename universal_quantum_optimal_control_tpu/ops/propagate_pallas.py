@@ -42,6 +42,13 @@ __all__ = ["propagate_mc_pallas", "mean_fidelity_pallas"]
 LANES = 128
 _DEF_ROWS = 128  # rows per tile (swept on v5e: 128 beats 64/256/512 by 5-20%)
 
+import os as _os
+
+# segment sin/cos implementation: "native" (libm) or "poly" (fused
+# reduced-range polynomial).  Overridable per-process via UQOC_SINCOS; the
+# default is what bench.py measured fastest on v5e.
+DEFAULT_SINCOS = _os.environ.get("UQOC_SINCOS", "native")
+
 
 def _interpret() -> bool:
     """Run the kernel in interpreter mode off-TPU (CPU backend) so the
@@ -49,12 +56,38 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _segment_loop(phi_ref, tau_ref, b, delta, eps, L):
+_INV_PI = 0.3183098861837907   # 1/pi
+_PI_HI = 3.140625            # Cody–Waite split of pi (exact in f32)
+_PI_LO = 9.67653589793e-4
+
+
+def _sincos_poly(x):
+    """Fused sin+cos: one-step Cody–Waite reduction to |r| ≤ π/2 + shared-x²
+    Taylor (sin deg 11, cos deg 10) — ~19 VPU ops for BOTH values vs two
+    full-range libm transcendentals.  Max abs error < 1e-6 on all of ℝ
+    reachable here (|x| ≲ 10³; the segment angle is |τ·½(1+ε)√(1+δ²)|).
+    """
+    k = jnp.round(x * _INV_PI)
+    r = (x - k * _PI_HI) - k * _PI_LO          # r ∈ [-π/2, π/2]
+    # parity: sin/cos(x) = (-1)^k · sin/cos(r)
+    sign = 1.0 - 2.0 * (k - 2.0 * jnp.floor(k * 0.5))
+    r2 = r * r
+    s = r * (1.0 + r2 * (-1.0 / 6.0 + r2 * (1.0 / 120.0 + r2 * (
+        -1.0 / 5040.0 + r2 * (1.0 / 362880.0 + r2 * (-1.0 / 39916800.0))))))
+    c = 1.0 + r2 * (-0.5 + r2 * (1.0 / 24.0 + r2 * (-1.0 / 720.0 + r2 * (
+        1.0 / 40320.0 + r2 * (-1.0 / 3628800.0)))))
+    return s * sign, c * sign
+
+
+def _segment_loop(phi_ref, tau_ref, b, delta, eps, L, sincos="native"):
     """Shared kernel body: compose L segments over a (rows, 128) sample tile.
 
     phi_ref/tau_ref hold the FULL (B, L) pulse tables in SMEM (they are tiny);
     ``b`` is the target index for this grid step.  delta/eps are (rows, 128)
     sample arrays.  Returns the 4 quaternion components.
+
+    ``sincos``: "native" (libm sin/cos) or "poly" (fused reduced-range
+    polynomial — see :func:`_sincos_poly`).
     """
     anorm2 = 1.0 + delta * delta
     anorm = jnp.sqrt(anorm2)
@@ -70,8 +103,12 @@ def _segment_loop(phi_ref, tau_ref, b, delta, eps, L):
         phi = phi_ref[b, k]
         tau = tau_ref[b, k]
         half = tau * scale
-        w = jnp.cos(half)
-        s = jnp.sin(half) * inv_anorm
+        if sincos == "poly":
+            sh, w = _sincos_poly(half)
+            s = sh * inv_anorm
+        else:
+            w = jnp.cos(half)
+            s = jnp.sin(half) * inv_anorm
         x = s * jnp.cos(phi)
         y = s * jnp.sin(phi)
         z = s * delta
@@ -84,11 +121,13 @@ def _segment_loop(phi_ref, tau_ref, b, delta, eps, L):
     return qw, qx, qy, qz
 
 
-def _prop_kernel(phi_ref, tau_ref, delta_ref, eps_ref, out_ref, *, L):
+def _prop_kernel(phi_ref, tau_ref, delta_ref, eps_ref, out_ref, *, L,
+                 sincos):
     b = pl.program_id(0)
     delta = delta_ref[0]
     eps = eps_ref[0]
-    qw, qx, qy, qz = _segment_loop(phi_ref, tau_ref, b, delta, eps, L)
+    qw, qx, qy, qz = _segment_loop(phi_ref, tau_ref, b, delta, eps, L,
+                                   sincos=sincos)
     out_ref[0, 0] = qw
     out_ref[0, 1] = qx
     out_ref[0, 2] = qy
@@ -96,11 +135,12 @@ def _prop_kernel(phi_ref, tau_ref, delta_ref, eps_ref, out_ref, *, L):
 
 
 def _fid_kernel(phi_ref, tau_ref, qt_ref, delta_ref, eps_ref, sum_ref, *, L,
-                M_valid, tr):
+                M_valid, tr, sincos):
     b = pl.program_id(0)
     delta = delta_ref[0]
     eps = eps_ref[0]
-    qw, qx, qy, qz = _segment_loop(phi_ref, tau_ref, b, delta, eps, L)
+    qw, qx, qy, qz = _segment_loop(phi_ref, tau_ref, b, delta, eps, L,
+                                   sincos=sincos)
     # entanglement fidelity from quaternion inner product:
     # F = (4<q, qt>^2 + 2) / 6  (SCORE.py:168-183 in quaternion form)
     inner = (qt_ref[b, 0] * qw + qt_ref[b, 1] * qx
@@ -151,13 +191,15 @@ def _mc_grid(B: int, M: int, tile_rows: int) -> Tuple[int, int, int]:
     return rows, tr, rows // tr
 
 
-@functools.partial(jax.jit, static_argnames=("tile_rows",))
-def _propagate_mc_pallas_raw(pulses, delta, eps, tile_rows=_DEF_ROWS):
+@functools.partial(jax.jit, static_argnames=("tile_rows", "sincos"))
+def _propagate_mc_pallas_raw(pulses, delta, eps, tile_rows=_DEF_ROWS,
+                             sincos=None):
     """(B, L, 2) pulses × (B, M) disorder → (B, M, 4) quaternions.
 
     M need not be a lane multiple: the MC axis is zero-padded up to one and
     the padded rows are sliced off the result (exact)."""
     B, L, _ = pulses.shape
+    sincos = sincos if sincos is not None else DEFAULT_SINCOS
     delta, eps, M_orig = _pad_mc(delta, eps)
     M = delta.shape[1]
     rows, tr, ntiles = _mc_grid(B, M, tile_rows)
@@ -167,7 +209,7 @@ def _propagate_mc_pallas_raw(pulses, delta, eps, tile_rows=_DEF_ROWS):
     eps_r = eps.reshape(B, rows, LANES)
 
     out = pl.pallas_call(
-        functools.partial(_prop_kernel, L=L),
+        functools.partial(_prop_kernel, L=L, sincos=sincos),
         grid=(B, ntiles),
         in_specs=[
             # full (B, L) pulse tables live in SMEM (tiny); indexed by program_id
@@ -216,9 +258,11 @@ def _bwd(res, g):
 propagate_mc_pallas.defvjp(_fwd, _bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_rows",))
-def _mean_fid_raw(pulses, q_target, delta, eps, tile_rows=_DEF_ROWS):
+@functools.partial(jax.jit, static_argnames=("tile_rows", "sincos"))
+def _mean_fid_raw(pulses, q_target, delta, eps, tile_rows=_DEF_ROWS,
+                  sincos=None):
     B, L, _ = pulses.shape
+    sincos = sincos if sincos is not None else DEFAULT_SINCOS
     delta, eps, M_orig = _pad_mc(delta, eps)
     M = delta.shape[1]
     rows, tr, ntiles = _mc_grid(B, M, tile_rows)
@@ -229,7 +273,8 @@ def _mean_fid_raw(pulses, q_target, delta, eps, tile_rows=_DEF_ROWS):
 
     sums = pl.pallas_call(
         functools.partial(_fid_kernel, L=L,
-                          M_valid=(M_orig if M_orig != M else None), tr=tr),
+                          M_valid=(M_orig if M_orig != M else None), tr=tr,
+                          sincos=sincos),
         grid=(B, ntiles),
         in_specs=[
             pl.BlockSpec((B, L), lambda b, j: (0, 0), memory_space=pltpu.SMEM),

@@ -139,6 +139,10 @@ class Trainer:
             self._loss_of_mean_fid = base_loss
 
         self._mean_fid = make_objective(mesh, self.system.local_mean_fidelity)
+        # deterministic forward (band-end pulse export) — jitted: an eager
+        # d512 transformer dispatch per batch stalls band transitions for
+        # minutes on remote-device backends
+        self._jit_apply = jax.jit(lambda p, rv: self._apply_model(p, rv))
         self._jit_train_step = jax.jit(self._train_step, donate_argnums=(0, 1))
         self._jit_eval_step = jax.jit(self._eval_step)
         self._jit_train_epoch = jax.jit(self._train_epoch_scan,
@@ -448,13 +452,14 @@ class Trainer:
                 # export the best model's pulses on the train set
                 # (reference _save_pulses, trainer.py:260-266)
                 import numpy as _np
+                params_p = self._place_params(params)
                 pulses_out = []
                 for b in range(n_batches):
                     rv = train_rv[b * bs:(b + 1) * bs]
                     qt = train_q_target[b * bs:(b + 1) * bs]
-                    params_p, rv, _ = self._place(params, rv, qt)
+                    rv, _ = self._place_data(rv, qt)
                     pulses_out.append(_np.asarray(
-                        self._apply_model(params_p, rv)))
+                        self._jit_apply(params_p, rv)))
                 _np.savez(f"{save_dir}/{tag}_pulses.npz",
                           pulses=_np.concatenate(pulses_out, axis=0))
 
