@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default=True,
                    help="scan minibatches on-device per epoch (default "
                         "on; --no-fused_epoch for per-step stepping)")
+    p.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                   help="encoder compute dtype (f32 default for training — "
+                        "bf16 under the fused scan degrades convergence)")
     p.add_argument("--pretrained_single_qubit", type=str, default=None,
                    help="checkpoint dir:tag of a single-qubit model whose "
                         "encoder is transplanted before finetuning")
@@ -74,6 +77,7 @@ def main(argv=None) -> None:
                                            "tau": (0.1, 0.5)}),
         max_pulses=args.max_pulses, d_model=args.d_model,
         n_layers=args.n_layers, n_heads=args.n_heads,
+        dtype=jnp.float32 if args.dtype == "f32" else jnp.bfloat16,
     )
 
     key = jax.random.PRNGKey(args.seed)
