@@ -26,6 +26,7 @@ from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh
 
@@ -83,6 +84,21 @@ class TrainConfig:
     reset_optimizer_per_band: bool = False  # fresh Adam moments per band
                                       # (reference keeps one optimizer across
                                       # the curriculum — trainer.py:46)
+    shuffle: bool = False             # re-draw minibatch composition every
+                                      # epoch (the reference iterates the grid
+                                      # dataset in fixed order — trainer.py:179
+                                      # — which makes every minibatch a narrow
+                                      # θ×α slice of SU(2); off for parity)
+    recover_collapse: float = 0.0     # if > 0: when eval fidelity stays more
+                                      # than this below the band best for
+                                      # `recover_patience` consecutive epochs,
+                                      # reload the best params and re-init the
+                                      # optimizer (mid-band extension of the
+                                      # reference's reload-best-at-band-end,
+                                      # trainer.py:223-225; large post-LN
+                                      # encoders at lr ≫ 3e-5 can fall into
+                                      # unrecoverable basins mid-band)
+    recover_patience: int = 3
 
 
 class Trainer:
@@ -345,16 +361,13 @@ class Trainer:
                 best_params = jax.tree_util.tree_map(
                     lambda x: jnp.array(x), params)
             band_hist = {"band": dataclasses.asdict(band), "eval_fid": [],
-                         "train_loss": []}
+                         "train_loss": [], "recoveries": 0}
             d_std = jnp.float32(band.delta_std)
             e_std = jnp.float32(band.epsilon_std)
             params = self._place_params(params)  # once per band, not per step
+            below_best = 0  # consecutive epochs spent in a collapsed basin
 
             if fused:
-                train_rv_b = train_rv[: n_batches * bs].reshape(
-                    (n_batches, bs) + train_rv.shape[1:])
-                train_qt_b = train_q_target[: n_batches * bs].reshape(
-                    (n_batches, bs) + train_q_target.shape[1:])
                 eval_rv_b = eval_rv[: n_eval_batches * eval_bs].reshape(
                     (n_eval_batches, eval_bs) + eval_rv.shape[1:])
                 eval_qt_b = eval_q_target[: n_eval_batches * eval_bs].reshape(
@@ -363,7 +376,18 @@ class Trainer:
             epoch0 = start_epoch if band_idx == start_band else 0
             for epoch in range(epoch0, epochs):
                 t_epoch = _time.perf_counter()
+                if cfg.shuffle:
+                    rng = np.random.default_rng(
+                        cfg.seed * 100003 + band_idx * 1009 + epoch)
+                    perm = rng.permutation(n_train)
+                    epoch_rv, epoch_qt = train_rv[perm], train_q_target[perm]
+                else:
+                    epoch_rv, epoch_qt = train_rv, train_q_target
                 if fused:
+                    train_rv_b = epoch_rv[: n_batches * bs].reshape(
+                        (n_batches, bs) + train_rv.shape[1:])
+                    train_qt_b = epoch_qt[: n_batches * bs].reshape(
+                        (n_batches, bs) + train_q_target.shape[1:])
                     key, k_train, k_eval = jax.random.split(key, 3)
                     params, opt_state, loss = self._jit_train_epoch(
                         params, opt_state, train_rv_b, train_qt_b, k_train,
@@ -374,8 +398,8 @@ class Trainer:
                 else:
                     losses = []
                     for b in range(n_batches):
-                        rv = train_rv[b * bs:(b + 1) * bs]
-                        qt = train_q_target[b * bs:(b + 1) * bs]
+                        rv = epoch_rv[b * bs:(b + 1) * bs]
+                        qt = epoch_qt[b * bs:(b + 1) * bs]
                         rv, qt = self._place_data(rv, qt)
                         key, sub = jax.random.split(key)
                         if profiling and steps_done == 1:
@@ -408,6 +432,20 @@ class Trainer:
                     best_fid = eval_fid
                     best_params = jax.tree_util.tree_map(
                         lambda x: jnp.array(x), params)
+                    below_best = 0
+                elif (cfg.recover_collapse > 0.0
+                      and eval_fid < best_fid - cfg.recover_collapse):
+                    below_best += 1
+                    if below_best >= cfg.recover_patience:
+                        # collapsed basin: restart from the band best with
+                        # fresh optimizer moments (soft multi-start)
+                        params = self._place_params(jax.tree_util.tree_map(
+                            lambda x: jnp.array(x), best_params))
+                        opt_state = self.optimizer.init(params)
+                        band_hist["recoveries"] += 1
+                        below_best = 0
+                else:
+                    below_best = 0
 
                 if logger is not None:
                     dt = _time.perf_counter() - t_epoch

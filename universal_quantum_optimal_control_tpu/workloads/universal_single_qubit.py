@@ -66,6 +66,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fresh Adam moments at each curriculum band (the "
                         "recipe that stabilizes the d512×8 flagship; the "
                         "reference keeps one optimizer across bands)")
+    p.add_argument("--shuffle", action="store_true",
+                   help="re-draw minibatch composition each epoch (the "
+                        "reference iterates the grid dataset in fixed order, "
+                        "so every minibatch is a narrow θ×α slice)")
+    p.add_argument("--recover_collapse", type=float, default=0.0,
+                   help="mid-band collapse recovery: reload band-best params "
+                        "+ fresh optimizer when eval fidelity stays this far "
+                        "below the band best for 3 consecutive epochs "
+                        "(0 = off; 0.05 is a good value for d512×8)")
     p.add_argument("--state_every", type=int, default=0,
                    help="checkpoint FULL resume state every N epochs")
     p.add_argument("--resume", action="store_true",
@@ -118,14 +127,19 @@ def main(argv=None) -> None:
 
     epochs = (args.epochs_per_band if args.epochs_per_band is not None
               else args.num_epoch)
+    # per-band optimizer reset also resets the schedule step counter, so the
+    # cosine span must be ONE band's steps (warm restarts); without reset the
+    # schedule runs globally across all 3 curriculum bands
+    n_bands = 1 if args.reset_opt_per_band else 3
     cfg = TrainConfig(
         monte_carlo=args.monte_carlo, batch_size=args.batch_size,
         epochs=epochs, learning_rate=args.learning_rate,
         loss="sharp", backend=args.backend, seed=args.seed,
         fused_epoch=args.fused_epoch, lr_schedule=args.lr_schedule,
-        lr_schedule_steps=3 * epochs * max(args.train_size
-                                           // args.batch_size, 1),
+        lr_schedule_steps=n_bands * epochs * max(args.train_size
+                                                 // args.batch_size, 1),
         reset_optimizer_per_band=args.reset_opt_per_band,
+        shuffle=args.shuffle, recover_collapse=args.recover_collapse,
         state_every=args.state_every,
     )
     trainer = Trainer(model, cfg, mesh=mesh, base_pulse=base_pulse)
