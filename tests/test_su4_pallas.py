@@ -1,0 +1,72 @@
+"""SU(4) SoA Pallas kernel vs the XLA oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from universal_quantum_optimal_control_tpu.core import su4
+from universal_quantum_optimal_control_tpu.ops import (
+    mean_fidelity_su4_pallas,
+    propagate_su4_mc_pallas,
+)
+
+
+def _random_case(B=3, L=7, M=200, P=3, seed=0):
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    cols = [jax.random.uniform(k1, (B, L), minval=-3.1, maxval=3.1)]
+    if P == 3:
+        cols.append(jax.random.uniform(k2, (B, L), minval=0.0, maxval=2.0))
+    cols.append(jax.random.uniform(k3, (B, L), minval=0.05, maxval=0.6))
+    pulses = jnp.stack(cols, -1)
+    d1 = jax.random.normal(k4, (B, M)) * 0.3
+    d2 = jax.random.normal(k5, (B, M)) * 0.3
+    ep = jax.random.normal(k6, (B, M)) * 0.05
+    return pulses, d1, d2, ep
+
+
+def test_su4_pallas_matches_xla_oracle():
+    """SoA kernel == batched-matmul XLA path, incl. MC-axis lane padding
+    (M = 200 is not a multiple of 128) and the Ω amplitude channel."""
+    pulses, d1, d2, ep = _random_case(P=3)
+    sys_ = su4.TwoQubitSystem(xtalk=0.1, coupling=0.5)
+    Ur_x, Ui_x = su4.propagate_su4_mc(pulses, d1, d2, ep, sys_)
+    Ur_p, Ui_p = propagate_su4_mc_pallas(pulses, d1, d2, ep,
+                                         xtalk=0.1, coupling=0.5)
+    np.testing.assert_allclose(np.asarray(Ur_p), np.asarray(Ur_x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(Ui_p), np.asarray(Ui_x), atol=2e-5)
+
+
+def test_su4_pallas_two_param_space():
+    pulses, d1, d2, ep = _random_case(P=2, seed=1)
+    sys_ = su4.TwoQubitSystem()
+    Ur_x, Ui_x = su4.propagate_su4_mc(pulses, d1, d2, ep, sys_)
+    Ur_p, Ui_p = propagate_su4_mc_pallas(pulses, d1, d2, ep)
+    np.testing.assert_allclose(np.asarray(Ur_p), np.asarray(Ur_x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(Ui_p), np.asarray(Ui_x), atol=2e-5)
+
+
+def test_su4_pallas_fused_fidelity():
+    """Fused on-chip fidelity+mean == XLA propagate → fidelity → mean."""
+    pulses, d1, d2, ep = _random_case(P=3, seed=2)
+    B = pulses.shape[0]
+    sys_ = su4.TwoQubitSystem(xtalk=0.1, coupling=0.5)
+    cz = np.diag([1, 1, 1, -1]).astype(np.complex64)
+    TR = jnp.broadcast_to(jnp.asarray(cz.real), (B, 4, 4))
+    TI = jnp.broadcast_to(jnp.asarray(cz.imag), (B, 4, 4))
+    Ur, Ui = su4.propagate_su4_mc(pulses, d1, d2, ep, sys_)
+    F_x = jnp.mean(su4.fidelity_su4_ri(Ur, Ui, TR[:, None], TI[:, None]),
+                   axis=1)
+    F_p = mean_fidelity_su4_pallas(pulses, TR, TI, d1, d2, ep,
+                                   xtalk=0.1, coupling=0.5)
+    np.testing.assert_allclose(np.asarray(F_p), np.asarray(F_x), atol=1e-5)
+
+
+def test_su4_pallas_unitarity():
+    """U†U = I for the kernel output (independent physics check)."""
+    pulses, d1, d2, ep = _random_case(B=2, L=5, M=128, P=3, seed=3)
+    Ur, Ui = propagate_su4_mc_pallas(pulses, d1, d2, ep)
+    U = np.asarray(Ur) + 1j * np.asarray(Ui)
+    prod = np.einsum("bmij,bmik->bmjk", U.conj(), U)
+    eye = np.broadcast_to(np.eye(4), prod.shape)
+    np.testing.assert_allclose(prod, eye, atol=2e-5)

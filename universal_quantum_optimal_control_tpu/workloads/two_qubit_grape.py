@@ -56,8 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def robustness_curve(pulses, u_target, sigmas, monte_carlo, system,
-                     epsilon_std=0.05, seed=1):
-    """E[F](σ_δ) ± SE for one pulse table (both qubits' δ at σ, shared ε)."""
+                     epsilon_std=0.05, seed=1, backend="pallas"):
+    """E[F](σ_δ) ± SE for one pulse table (both qubits' δ at σ, shared ε).
+
+    ``backend="pallas"`` propagates with the fused SoA kernel
+    (:mod:`..ops.propagate_su4_pallas` — MC samples on VPU lanes);
+    ``"xla"`` keeps the batched-matmul oracle path."""
     TR = jnp.asarray(np.asarray(u_target).real, jnp.float32)
     TI = jnp.asarray(np.asarray(u_target).imag, jnp.float32)
     p = jnp.asarray(pulses)[None]
@@ -69,7 +73,12 @@ def robustness_curve(pulses, u_target, sigmas, monte_carlo, system,
         d1 = jax.random.normal(k1, (1, M)) * s
         d2 = jax.random.normal(k2, (1, M)) * s
         ep = jax.random.normal(k3, (1, M)) * epsilon_std
-        Ur, Ui = su4.propagate_su4_mc(p, d1, d2, ep, system)
+        if backend == "pallas":
+            from ..ops import propagate_su4_mc_pallas
+            Ur, Ui = propagate_su4_mc_pallas(
+                p, d1, d2, ep, xtalk=system.xtalk, coupling=system.coupling)
+        else:
+            Ur, Ui = su4.propagate_su4_mc(p, d1, d2, ep, system)
         F = np.asarray(su4.fidelity_su4_ri(Ur, Ui, TR, TI))[0]
         rows.append((float(s), float(F.mean()),
                      float(F.std() / np.sqrt(M))))
