@@ -114,3 +114,23 @@ def test_quat_to_real_vector_matches_complex_path():
     via_complex = se.to_real_vector(su2.quat_to_su2(q))
     np.testing.assert_allclose(np.asarray(direct), np.asarray(via_complex),
                                atol=1e-6)
+
+
+def test_yxy_theta_pi_branch_is_continuous_limit():
+    """At θ = π with the axis in the xz-plane (H, tilted-axis π rotations —
+    exactly the served named gates), the gimbal branch must emit the SAME
+    (α, γ) split as the θ → π⁻ limit of the regular formulas; a different
+    (equally valid) split reconstructs the unitary but produces SCORE tokens
+    outside the training distribution (shipped d512 scored F≈0.40 on exact H
+    before this convention was fixed)."""
+    import math
+
+    s2 = 1.0 / math.sqrt(2.0)
+    for axis in ([s2, 0.0, s2], [0.5, 0.0, math.sqrt(3) / 2],
+                 [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]):
+        at_pi = jnp.asarray([axis + [math.pi]], jnp.float32)
+        near_pi = jnp.asarray([axis + [math.pi - 1e-3]], jnp.float32)
+        abg_pi = np.asarray(se.euler_yxy_from_rotation_vector(at_pi))[0]
+        abg_near = np.asarray(se.euler_yxy_from_rotation_vector(near_pi))[0]
+        np.testing.assert_allclose(abg_pi[0], abg_near[0], atol=5e-3)
+        np.testing.assert_allclose(abg_pi[2], abg_near[2], atol=5e-3)

@@ -157,6 +157,29 @@ def test_shipped_length100_weights_load_and_perform():
     assert f > 0.9, f
 
 
+def test_shipped_length100_flagship_loads_and_performs():
+    """The flagship d512x8 L=100 artifact (the demo default): E[F] > 0.9 at
+    sigma=0.4 on H — the theta=pi gimbal-branch gate that regressed before
+    the continuous-limit YXY split fix (score_embedding.py)."""
+    import math
+
+    from universal_quantum_optimal_control_tpu.analysis import (
+        mc_fidelity_estimate,
+    )
+    from universal_quantum_optimal_control_tpu.demo import app
+
+    assert app.default_variant() == "length_100"
+    app.load_pipeline.cache_clear()
+    s2 = 1.0 / math.sqrt(2.0)
+    pulses, q_t = app.compute_pulses("length_100", s2, 0.0, s2,
+                                     float(np.pi))
+    assert pulses.shape == (100, 2)
+    f, se = mc_fidelity_estimate(pulses, q_t, delta_std=0.4,
+                                 monte_carlo=2000)
+    assert f > 0.9, f
+    app.load_pipeline.cache_clear()  # drop the 46 MB pipeline from the cache
+
+
 def test_universal_finetune_base_pulse_path(tmp_path):
     """The finetune blend workflow: train with an explicit base pulse table
     (the reference length_400 config semantics, minus torch.load-in-forward)."""

@@ -17,6 +17,7 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..core import su2
 from ..core.propagate import propagate_mc, propagate_scan
@@ -116,12 +117,17 @@ def fidelity_contour_plot(pulses, u_target, save_path: Optional[str] = None,
 @jax.jit
 def _sweep_fid(pulses, q_target, normals_d, normals_e, stds):
     # normals: (S, M) standard draws reused across stds (common random
-    # numbers -> smooth curves); stds: (S,)
-    delta = normals_d * stds[:, None]
-    q = propagate_mc(pulses[None], delta.reshape(1, -1),
-                     normals_e.reshape(1, -1))[0]
-    F = su2.quat_fidelity(q, q_target[None]).reshape(stds.shape[0], -1)
-    return jnp.mean(F, axis=1), jnp.std(F, axis=1) / jnp.sqrt(F.shape[1])
+    # numbers -> smooth curves); stds: (S,).  lax.map over the std axis keeps
+    # the per-step segment materialization at O(M·L) instead of O(S·M·L)
+    # (the flat version OOMs at the reference sweep scale: 199 σ × 10k MC ×
+    # L=100 needs ~24 GB of segment quaternions on a 16 GB chip)
+    def one_std(args):
+        nd, ne, s = args
+        q = propagate_mc(pulses[None], (nd * s)[None], ne[None])[0]
+        F = su2.quat_fidelity(q, q_target[None])
+        return jnp.mean(F), jnp.std(F) / jnp.sqrt(F.shape[0])
+
+    return lax.map(one_std, (normals_d, normals_e, stds))
 
 
 def fidelity_by_std(pulses, u_target,

@@ -42,7 +42,7 @@ MODEL_VARIANTS: Dict[str, Dict] = {
                                "universal_single_qubit_small20.json"),
                  "checkpoint": str(_WEIGHTS_DIR / "small20.npz")},
     "length_100": {"config": str(_CONFIG_DIR / "universal_single_qubit.json"),
-                   "checkpoint": None},
+                   "checkpoint": str(_WEIGHTS_DIR / "length100.npz")},
     "length_400": {"config": str(_CONFIG_DIR /
                                  "universal_single_qubit_length400.json"),
                    "checkpoint": None},

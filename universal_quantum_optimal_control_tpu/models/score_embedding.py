@@ -89,9 +89,18 @@ def euler_yxy_from_rotation_vector(rotation_vector: jax.Array,
     alpha_reg = safe_atan2(x * y - z * w, y * z + w * x, mask_reg)
     gamma_reg = safe_atan2(x * y + z * w, w * x - y * z, mask_reg)
     alpha_b0 = 2.0 * safe_atan2(y, w, mask_beta0)
-    gamma_bpi = 2.0 * safe_atan2(z, x, mask_betapi)
+    # β ≈ π (θ = π, axis in the xz-plane): only γ − α is determined; pick the
+    # split that is the θ → π⁻ limit of the regular branch (α* = atan2(−z, x),
+    # γ* = atan2(z, x), since w → 0⁺ factors out of both atan2s).  A fixed
+    # α = 0 split reconstructs the same unitary but yields SCORE tokens that
+    # are discontinuous against the surrounding θ < π training distribution —
+    # trained models scored F ≈ 0.40 on exact H/tilted-axis-π targets while
+    # scoring 0.99 at θ = 0.98π (the reference's branch, universal_model.py:
+    # 184-188, has the same defect; its demo gates are likewise θ = π).
+    alpha_bpi = safe_atan2(-z, x, mask_betapi)
+    gamma_bpi = safe_atan2(z, x, mask_betapi)
 
-    alpha = alpha_reg + alpha_b0  # branches are disjoint, unselected are 0
+    alpha = alpha_reg + alpha_b0 + alpha_bpi  # disjoint branches; unselected 0
     gamma = gamma_reg + gamma_bpi
     return jnp.stack([alpha, beta, gamma], axis=-1)
 
