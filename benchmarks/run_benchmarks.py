@@ -122,18 +122,36 @@ def main() -> None:
     dt = timed_chain(vg(obj_xla))
     record("su2_L20_value_and_grad_xla", B * (1 << 16) / dt, "props/s")
 
-    # 5. SU(4) two-qubit MC propagation
-    B4, L4, M4 = 8, 24, 2048
-    p4, d1, e4 = su2_inputs(B4, L4, M4, key=2)
-    d2 = jax.random.normal(jax.random.PRNGKey(3), (B4, M4))
+    # 5. SU(4) two-qubit MC propagation.  XLA at a small MC batch (large M
+    # materializes (B, M, 4, 4) complex pairs and slows further); the SoA
+    # Pallas kernel at a large one (MC samples on lanes want M >> 128).
+    B4, L4 = 8, 24
+    M4x, M4p = 2048, 1 << 16
+    p4, d1, e4 = su2_inputs(B4, L4, M4p, key=2)
+    d2 = jax.random.normal(jax.random.PRNGKey(3), (B4, M4p))
     system = su4.TwoQubitSystem()
 
     def step_su4(c):
-        Ur, Ui = su4.propagate_su4_mc(p4, d1 + c, d2, e4, system)
+        Ur, Ui = su4.propagate_su4_mc(p4, d1[:, :M4x] + c, d2[:, :M4x],
+                                      e4[:, :M4x], system)
         return jnp.mean(Ur) * 1e-12, None
 
     dt = timed_chain(step_su4, iters=4)
-    record("su4_L24_xla_mc_propagation", B4 * M4 / dt, "props/s")
+    record("su4_L24_xla_mc_propagation", B4 * M4x / dt, "props/s")
+
+    # 6. SU(4) fused Pallas kernel (SoA layout, MC on lanes)
+    from universal_quantum_optimal_control_tpu.ops import (
+        propagate_su4_mc_pallas,
+    )
+
+    def step_su4_pallas(c):
+        Ur, Ui = propagate_su4_mc_pallas(p4, d1 + c, d2, e4,
+                                         xtalk=system.xtalk,
+                                         coupling=system.coupling)
+        return jnp.mean(Ur) * 1e-12, None
+
+    dt = timed_chain(step_su4_pallas, iters=8)
+    record("su4_L24_pallas_mc_propagation", B4 * M4p / dt, "props/s")
 
     print(json.dumps({"device": str(jax.devices()[0])}))
 

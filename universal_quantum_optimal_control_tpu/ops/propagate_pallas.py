@@ -44,10 +44,11 @@ _DEF_ROWS = 128  # rows per tile (swept on v5e: 128 beats 64/256/512 by 5-20%)
 
 import os as _os
 
-# segment sin/cos implementation: "native" (libm) or "poly" (fused
-# reduced-range polynomial).  Overridable per-process via UQOC_SINCOS; the
-# default is what bench.py measured fastest on v5e.
-DEFAULT_SINCOS = _os.environ.get("UQOC_SINCOS", "native")
+# segment sin/cos implementation: "poly" (fused reduced-range polynomial,
+# the default — 2.28e9 vs 1.20e9 props/s on v5e, 1.89x, matches libm to
+# <1e-5; see test_poly_sincos_*) or "native" (libm).  Overridable
+# per-process via UQOC_SINCOS.
+DEFAULT_SINCOS = _os.environ.get("UQOC_SINCOS", "poly")
 
 
 def _interpret() -> bool:
