@@ -65,6 +65,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint dir:tag of a single-qubit model whose "
                         "encoder is transplanted before finetuning")
     p.add_argument("--seed", type=int, default=0)
+    # the recipe that unlocked the single-qubit d512x8 flagship
+    p.add_argument("--reset_opt_per_band", action="store_true",
+                   help="fresh Adam moments at each curriculum band")
+    p.add_argument("--shuffle", action="store_true",
+                   help="re-draw minibatch composition each epoch")
+    p.add_argument("--recover_collapse", type=float, default=0.0,
+                   help="mid-band collapse recovery threshold (0 = off)")
+    p.add_argument("--state_every", type=int, default=0,
+                   help="checkpoint FULL resume state every N epochs")
     return p
 
 
@@ -89,6 +98,9 @@ def main(argv=None) -> None:
         monte_carlo=args.monte_carlo, batch_size=args.batch_size,
         epochs=args.num_epoch, learning_rate=args.learning_rate,
         loss="sharp", seed=args.seed, fused_epoch=args.fused_epoch,
+        reset_optimizer_per_band=args.reset_opt_per_band,
+        shuffle=args.shuffle, recover_collapse=args.recover_collapse,
+        state_every=args.state_every,
     )
     trainer = Trainer(model, cfg, system=system)
 
