@@ -180,6 +180,23 @@ def test_shipped_length100_flagship_loads_and_performs():
     app.load_pipeline.cache_clear()  # drop the 46 MB pipeline from the cache
 
 
+def test_demo_blend_variant_serves_with_base_pulse():
+    """length_400 is a finetune-blend variant: the demo pipeline must load
+    the registered base pulse and serve 0.2*model + base (reference
+    length_400.json 'finetune' semantics) — τ must stay near the base table
+    (base τ∈(0.035,0.07), model residual ±0.1, relu) and never exceed it
+    by more than the residual bound."""
+    from universal_quantum_optimal_control_tpu.demo import app
+
+    app.load_pipeline.cache_clear()
+    pulses, q_t = app.compute_pulses("length_400", 1.0, 0.0, 0.0,
+                                     float(np.pi), random_init=True)
+    assert pulses.shape == (400, 2)
+    assert float(pulses[:, 1].max()) <= 0.07 + 0.1 + 1e-6
+    assert float(pulses[:, 1].min()) >= 0.0
+    app.load_pipeline.cache_clear()
+
+
 def test_universal_finetune_base_pulse_path(tmp_path):
     """The finetune blend workflow: train with an explicit base pulse table
     (the reference length_400 config semantics, minus torch.load-in-forward)."""

@@ -45,7 +45,11 @@ MODEL_VARIANTS: Dict[str, Dict] = {
                    "checkpoint": str(_WEIGHTS_DIR / "length100.npz")},
     "length_400": {"config": str(_CONFIG_DIR /
                                  "universal_single_qubit_length400.json"),
-                   "checkpoint": None},
+                   "checkpoint": None,
+                   # blend variants serve as 0.2*model + base (reference
+                   # length_400.json "finetune" semantics, universal_model.py
+                   # :135-138 — but the base loads ONCE here, not per forward)
+                   "base_pulse": str(_WEIGHTS_DIR / "grape_x400_pulse.csv")},
 }
 
 
@@ -57,12 +61,17 @@ def load_pipeline(variant: str, checkpoint: Optional[str] = None,
     model_params = load_model_params(spec["config"])
     model_params["pulse_space"] = normalize_pulse_space(
         model_params["pulse_space"])
-    # the finetune blend needs an explicit base pulse; serve without it
-    model_params["finetune"] = False
+    base_pulse = None
+    if spec.get("base_pulse"):
+        from ..workloads.universal_single_qubit import load_base_pulse
+        base_pulse = load_base_pulse(spec["base_pulse"])
+    model_params["finetune"] = base_pulse is not None
     model = UniversalQOCTransformer(**model_params)
 
     rv0 = np.asarray([[1.0, 0.0, 0.0, np.pi]], np.float32)
-    target = jax.jit(model.init)(jax.random.PRNGKey(0), rv0)
+    init_kwargs = {"base_pulse": base_pulse} if base_pulse is not None else {}
+    target = jax.jit(functools.partial(model.init, **init_kwargs))(
+        jax.random.PRNGKey(0), rv0)
     ckpt = checkpoint or spec["checkpoint"]
     if ckpt is not None and str(ckpt).endswith(".npz"):
         from ..models.serialization import load_params_npz
@@ -76,7 +85,7 @@ def load_pipeline(variant: str, checkpoint: Optional[str] = None,
         raise ValueError(f"no checkpoint registered for variant {variant}; "
                          "pass checkpoint='dir:tag' / a .npz path, or "
                          "random_init=True")
-    return Pipeline(model, params)
+    return Pipeline(model, params, base_pulse=base_pulse)
 
 
 def compute_pulses(variant: str, x: float, y: float, z: float, theta: float,
