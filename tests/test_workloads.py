@@ -197,6 +197,24 @@ def test_demo_blend_variant_serves_with_base_pulse():
     app.load_pipeline.cache_clear()
 
 
+def test_shipped_length400_weights_load_and_perform():
+    """The shipped length_400 blend artifact: E[F] > 0.9 at sigma=0.4 on
+    X(pi) (trained band bests 0.998/0.984/0.957 — see weights/README.md)."""
+    from universal_quantum_optimal_control_tpu.analysis import (
+        mc_fidelity_estimate,
+    )
+    from universal_quantum_optimal_control_tpu.demo import app
+
+    app.load_pipeline.cache_clear()
+    pulses, q_t = app.compute_pulses("length_400", 1.0, 0.0, 0.0,
+                                     float(np.pi))
+    assert pulses.shape == (400, 2)
+    f, se = mc_fidelity_estimate(pulses, q_t, delta_std=0.4,
+                                 monte_carlo=2000)
+    assert f > 0.9, f
+    app.load_pipeline.cache_clear()
+
+
 def test_universal_finetune_base_pulse_path(tmp_path):
     """The finetune blend workflow: train with an explicit base pulse table
     (the reference length_400 config semantics, minus torch.load-in-forward)."""

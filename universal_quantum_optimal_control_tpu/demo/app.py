@@ -45,7 +45,7 @@ MODEL_VARIANTS: Dict[str, Dict] = {
                    "checkpoint": str(_WEIGHTS_DIR / "length100.npz")},
     "length_400": {"config": str(_CONFIG_DIR /
                                  "universal_single_qubit_length400.json"),
-                   "checkpoint": None,
+                   "checkpoint": str(_WEIGHTS_DIR / "length400.npz"),
                    # blend variants serve as 0.2*model + base (reference
                    # length_400.json "finetune" semantics, universal_model.py
                    # :135-138 — but the base loads ONCE here, not per forward)
