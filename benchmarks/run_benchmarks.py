@@ -122,9 +122,10 @@ def main() -> None:
     dt = timed_chain(vg(obj_xla))
     record("su2_L20_value_and_grad_xla", B * (1 << 16) / dt, "props/s")
 
-    # 5. SU(4) two-qubit MC propagation.  XLA at a small MC batch (large M
-    # materializes (B, M, 4, 4) complex pairs and slows further); the SoA
-    # Pallas kernel at a large one (MC samples on lanes want M >> 128).
+    # 5. SU(4) two-qubit MC propagation: XLA in both layouts.  The trailing
+    # (..., 4, 4) layout tiles the matrix onto (4, 128) lanes (4/128 live →
+    # it is the round-1 baseline, kept for the record at its best M); the
+    # SoA (16, batch) layout puts MC samples on lanes.
     B4, L4 = 8, 24
     M4x, M4p = 2048, 1 << 16
     p4, d1, e4 = su2_inputs(B4, L4, M4p, key=2)
@@ -133,11 +134,19 @@ def main() -> None:
 
     def step_su4(c):
         Ur, Ui = su4.propagate_su4_mc(p4, d1[:, :M4x] + c, d2[:, :M4x],
-                                      e4[:, :M4x], system)
+                                      e4[:, :M4x], system, layout="ri")
         return jnp.mean(Ur) * 1e-12, None
 
     dt = timed_chain(step_su4, iters=4)
-    record("su4_L24_xla_mc_propagation", B4 * M4x / dt, "props/s")
+    record("su4_L24_xla_ri_mc_propagation", B4 * M4x / dt, "props/s")
+
+    def step_su4_soa(c):
+        Ur, Ui = su4.propagate_su4_mc(p4, d1 + c, d2, e4, system,
+                                      layout="soa")
+        return jnp.mean(Ur) * 1e-12, None
+
+    dt = timed_chain(step_su4_soa, iters=8)
+    record("su4_L24_xla_soa_mc_propagation", B4 * M4p / dt, "props/s")
 
     # 6. SU(4) fused Pallas kernel (SoA layout, MC on lanes)
     from universal_quantum_optimal_control_tpu.ops import (

@@ -78,6 +78,55 @@ def test_propagate_su4_unitary_and_order():
         np.testing.assert_allclose(U[b], Uref, atol=2e-5)
 
 
+def test_soa_and_ri_layouts_agree():
+    """The SoA (entries-leading, TPU) and trailing-(4,4) (CPU) scan layouts
+    must be numerically identical — they are the same math in different
+    memory orders."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(9))
+    B, L = 3, 12
+    pulses = jnp.stack([
+        jax.random.uniform(k1, (B, L), minval=-np.pi, maxval=np.pi),
+        jax.random.uniform(k2, (B, L), minval=0.1, maxval=0.5)], axis=-1)
+    d1 = jnp.asarray([0.1, -0.3, 0.0])
+    d2 = jnp.asarray([-0.1, 0.2, 0.4])
+    ep = jnp.asarray([0.02, 0.0, -0.05])
+    Ur_s, Ui_s = su4.propagate_su4(pulses, d1, d2, ep, layout="soa")
+    Ur_r, Ui_r = su4.propagate_su4(pulses, d1, d2, ep, layout="ri")
+    np.testing.assert_allclose(np.asarray(Ur_s), np.asarray(Ur_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Ui_s), np.asarray(Ui_r), atol=1e-5)
+    # 3-parameter (phi, Omega, tau) space too
+    om = jax.random.uniform(jax.random.PRNGKey(1), (B, L))
+    p3 = jnp.concatenate([pulses[..., :1], om[..., None], pulses[..., 1:]],
+                         axis=-1)
+    Ur_s, Ui_s = su4.propagate_su4(p3, d1, d2, ep, layout="soa")
+    Ur_r, Ui_r = su4.propagate_su4(p3, d1, d2, ep, layout="ri")
+    np.testing.assert_allclose(np.asarray(Ur_s), np.asarray(Ur_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Ui_s), np.asarray(Ui_r), atol=1e-5)
+
+
+def test_propagate_su4_long_sequence_unitarity():
+    """L=40 (the two-qubit training length): |U^H U - I| must stay < 1e-4.
+
+    Guards the matmul precision pin in su4._matmul_ri — on TPU the default
+    MXU precision truncates f32 inputs to bf16, which compounded into ~2%
+    non-unitarity over 40 segments (measured eval 'fidelity' 1.04 on v5e);
+    with Precision.HIGHEST the drift is ~1e-5 on TPU and CPU alike."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    B, L = 4, 40
+    pulses = jnp.stack([
+        jax.random.uniform(k1, (B, L), minval=-np.pi, maxval=np.pi),
+        jax.random.uniform(k2, (B, L), minval=0.1, maxval=0.5)], axis=-1)
+    z = jnp.zeros(B)
+    Ur, Ui = jax.jit(lambda p: su4.propagate_su4(p, z, z, z))(pulses)
+    U = np.asarray(su4.complex_from_ri(Ur, Ui))
+    for b in range(B):
+        np.testing.assert_allclose(U[b].conj().T @ U[b], np.eye(4),
+                                   atol=1e-4)
+    # self-fidelity may not exceed 1 beyond float error
+    F = np.asarray(su4.fidelity_su4_ri(Ur, Ui, Ur, Ui))
+    assert F.max() <= 1.0 + 1e-4
+
+
 def test_propagate_su4_mc_matches_flat():
     sys_ = su4.TwoQubitSystem()
     key = jax.random.PRNGKey(3)

@@ -151,3 +151,36 @@ def test_block_grape_reaches_cz():
     assert pulses.shape == (20, 3)
     # free segments exist: some omegas are exactly 0 (the ZZ resource)
     assert np.any(np.asarray(pulses[:, 1]) == 0.0)
+
+
+def test_shipped_two_qubit_weights_load_and_perform():
+    """The shipped two-qubit universal artifact (band-0 sigma=0 eval 0.9944
+    at training): loaded through the npz serializer it must map reachable
+    SU(4) targets to pulses with E[F] > 0.9 at zero disorder."""
+    from pathlib import Path
+
+    from universal_quantum_optimal_control_tpu.models.serialization import (
+        load_params_npz,
+    )
+    from universal_quantum_optimal_control_tpu.workloads.two_qubit import (
+        build_targets,
+    )
+
+    path = (Path(__file__).parent.parent
+            / "universal_quantum_optimal_control_tpu" / "demo" / "weights"
+            / "two_qubit_d512.npz")
+    system = su4.TwoQubitSystem()
+    model = TwoQubitQOCTransformer(
+        pulse_space=normalize_pulse_space({"phi": (-3.15, 3.15),
+                                           "tau": (0.1, 0.5)}),
+        max_pulses=40, d_model=512, n_layers=8, n_heads=16,
+        dtype=jnp.float32)
+    targets = build_targets(jax.random.PRNGKey(42), 4, system)
+    params = load_params_npz(str(path),
+                             model.init(jax.random.PRNGKey(0), targets))
+    pulses = model.apply(params, targets)
+    z = jnp.zeros(4)
+    Ur, Ui = su4.propagate_su4(pulses, z, z, z, system)
+    F = np.asarray(su4.fidelity_su4_ri(
+        Ur, Ui, targets[:, 0], targets[:, 1]))
+    assert F.mean() > 0.9, F

@@ -132,11 +132,128 @@ def su4_hamiltonian(phi: jax.Array, delta1: jax.Array, delta2: jax.Array,
 
 
 def _matmul_ri(ar, ai, br, bi):
-    """Complex matmul on (re, im) pairs — 3 real matmuls (Karatsuba)."""
-    k1 = ar @ (br + bi)
-    k2 = (ar + ai) @ bi
-    k3 = (ai - ar) @ br
+    """Complex matmul on (re, im) pairs — 3 real matmuls (Karatsuba).
+
+    Precision is pinned to HIGHEST: TPU MXU default precision truncates f32
+    matmul inputs to bf16, and over L=40 segments × (Taylor + 4 squarings +
+    running product) the rounding compounds into ~2% non-unitarity —
+    measured eval "fidelity" 1.04 on v5e before this pin (CPU tests never
+    see it; the SoA Pallas kernel is elementwise-FMA f32 and exact either
+    way).  The 4×4 matmuls are tiny, so the 3-pass cost is irrelevant.
+
+    NOTE: this trailing-(4, 4) layout is kept for API-level callers, but
+    the propagator hot path runs in the SoA (entries-leading) layout below
+    — on TPU, XLA tiles a trailing (4, 4) to (4, 128) lanes (32× memory
+    padding), which OOMs the scan VJP at training scale."""
+    P = jax.lax.Precision.HIGHEST
+    k1 = jnp.matmul(ar, br + bi, precision=P)
+    k2 = jnp.matmul(ar + ai, bi, precision=P)
+    k3 = jnp.matmul(ai - ar, br, precision=P)
     return k1 - k2, k1 + k3
+
+
+# ---------------------------------------------------------------------------
+# SoA (structure-of-arrays) layout: a 4×4 complex matrix is a pair of
+# (16, ...) float32 arrays (entry (i, j) at index 4·i+j), batch dims LAST.
+# The minor-most dims are then batch/MC axes, which tile (8, 128) exactly —
+# zero padding, full VPU lane utilization, and f32 FMA arithmetic (no MXU
+# bf16 truncation).  This is the same layout as the fused Pallas kernel
+# (ops/propagate_su4_pallas.py), expressed in plain XLA so it autodiffs.
+# ---------------------------------------------------------------------------
+
+
+def _matmul16(ar, ai, br, bi):
+    """SoA complex matmul: ``(16, ...)`` pairs → ``(16, ...)`` pair.
+
+    The 4×4×4 contraction is unrolled into 64 complex FMA chains on the
+    batch lanes."""
+    cr, ci = [], []
+    for i in range(4):
+        for j in range(4):
+            re = im = None
+            for k in range(4):
+                a_r, a_i = ar[4 * i + k], ai[4 * i + k]
+                b_r, b_i = br[4 * k + j], bi[4 * k + j]
+                t_r = a_r * b_r - a_i * b_i
+                t_i = a_r * b_i + a_i * b_r
+                re = t_r if re is None else re + t_r
+                im = t_i if im is None else im + t_i
+            cr.append(re)
+            ci.append(im)
+    return jnp.stack(cr), jnp.stack(ci)
+
+
+def _h16(phi, delta1, delta2, epsilon, system, omega=None):
+    """Hamiltonian in SoA layout: batch scalars ``(...,)`` → ``(16, ...)``
+    (re, im) pair.  Zero Pauli-table coefficients are folded at trace time
+    (most of the 16 entries touch only 1-3 of the 7 strings)."""
+    c = jnp.cos(phi)
+    s = jnp.sin(phi)
+    amp = 0.5 * (1.0 + epsilon)
+    if omega is not None:
+        amp = amp * jnp.maximum(omega, 0.0)
+    chi = system.xtalk
+    coefs = [(amp * c, "X1"), (amp * s, "Y1"),
+             (amp * chi * c, "X2"), (amp * chi * s, "Y2"),
+             (0.5 * delta1, "Z1"), (0.5 * delta2, "Z2")]
+    shape = jnp.broadcast_shapes(phi.shape, delta1.shape, delta2.shape,
+                                 epsilon.shape)
+    zero = jnp.zeros(shape, jnp.float32)
+
+    def build(table):
+        rows = []
+        for i in range(4):
+            for j in range(4):
+                e = None
+                for arr, name in coefs:
+                    w = float(table[name][i, j])
+                    if w != 0.0:
+                        t = arr * w
+                        e = t if e is None else e + t
+                wzz = float(system.coupling * table["ZZ"][i, j])
+                if wzz != 0.0:
+                    e = (zero + wzz) if e is None else e + wzz
+                rows.append(jnp.broadcast_to(e if e is not None else zero,
+                                             shape))
+        return jnp.stack(rows)
+
+    return build(_XR), build(_XI)
+
+
+_EYE16 = np.eye(4, dtype=np.float32).reshape(16)
+
+
+def _expm16(Hr, Hi, tau, order=8, scaling=4):
+    """``exp(−i·H·τ)`` in SoA layout — same Paterson–Stockmeyer order-8 +
+    squaring scheme as :func:`expm_taylor_ri`."""
+    scale = tau / (2.0 ** scaling)
+    Ar = Hi * scale
+    Ai = -Hr * scale
+
+    eye = jnp.asarray(_EYE16).reshape(16, *([1] * (Ar.ndim - 1)))
+
+    if order == 8:
+        c = [1.0 / math.factorial(k) for k in range(9)]
+        A2 = _matmul16(Ar, Ai, Ar, Ai)
+        A3 = _matmul16(A2[0], A2[1], Ar, Ai)
+        A4 = _matmul16(A2[0], A2[1], A2[0], A2[1])
+        Pr = c[0] * eye + c[1] * Ar + c[2] * A2[0] + c[3] * A3[0]
+        Pi = c[1] * Ai + c[2] * A2[1] + c[3] * A3[1]
+        Qr = (c[4] * eye + c[5] * Ar + c[6] * A2[0] + c[7] * A3[0]
+              + c[8] * A4[0])
+        Qi = c[5] * Ai + c[6] * A2[1] + c[7] * A3[1] + c[8] * A4[1]
+        Mr, Mi = _matmul16(A4[0], A4[1], Qr, Qi)
+        Ur, Ui = Pr + Mr, Pi + Mi
+    else:
+        Ur, Ui = eye + Ar, Ai
+        Tr_, Ti_ = Ar, Ai
+        for k in range(2, order + 1):
+            Tr_, Ti_ = _matmul16(Tr_, Ti_, Ar / k, Ai / k)
+            Ur, Ui = Ur + Tr_, Ui + Ti_
+
+    for _ in range(scaling):
+        Ur, Ui = _matmul16(Ur, Ui, Ur, Ui)
+    return Ur, Ui
 
 
 def expm_taylor_ri(Hr: jax.Array, Hi: jax.Array, tau: jax.Array,
@@ -187,12 +304,23 @@ def expm_taylor_ri(Hr: jax.Array, Hi: jax.Array, tau: jax.Array,
 
 def propagate_su4(pulses: jax.Array, delta1: jax.Array, delta2: jax.Array,
                   epsilon: jax.Array,
-                  system: TwoQubitSystem = TwoQubitSystem()) -> Tuple[jax.Array, jax.Array]:
+                  system: TwoQubitSystem = TwoQubitSystem(),
+                  layout: str = "auto") -> Tuple[jax.Array, jax.Array]:
     """Compose ``U_L ⋯ U_1`` for two-qubit phase-control sequences.
 
     pulses: ``(..., L, 2)`` (φ, τ); disorder: ``(...,)`` each.
     Returns (re, im) pair ``(..., 4, 4)``.
+
+    ``layout``: "soa" scans in the entries-leading ``(16, batch)`` layout —
+    on TPU a trailing (4, 4) tiles to (4, 128) lanes, so the scan VJP pays
+    32× memory padding and the matmuls waste 124/128 lanes (measured: OOM at
+    training scale + 4.5× lower throughput); "ri" keeps trailing-(4, 4)
+    matmuls, which CPU executes much faster than 64 unrolled FMA chains.
+    "auto" picks by backend.  Both layouts are numerically identical
+    (tests/test_su4.py::test_soa_and_ri_layouts_agree).
     """
+    if layout == "auto":
+        layout = "ri" if jax.default_backend() == "cpu" else "soa"
     P = pulses.shape[-1]
     phi = jnp.moveaxis(pulses[..., 0], -1, 0)  # (L, ...)
     tau = jnp.moveaxis(pulses[..., -1], -1, 0)
@@ -202,12 +330,47 @@ def propagate_su4(pulses: jax.Array, delta1: jax.Array, delta2: jax.Array,
 
     batch_shape = jnp.broadcast_shapes(
         phi.shape[1:], delta1.shape, delta2.shape, epsilon.shape)
+    xs = (phi, tau) if omega is None else (phi, omega, tau)
+
+    if layout == "soa":
+        # SoA carry: (16, *batch) (re, im) — batch dims minor-most, so the
+        # scan carry and every Taylor intermediate tile (8, 128), no padding
+        eye16 = jnp.asarray(_EYE16).reshape(16, *([1] * len(batch_shape)))
+        init = (jnp.broadcast_to(eye16, (16,) + batch_shape),
+                jnp.zeros((16,) + batch_shape, jnp.float32))
+
+        def body(carry, pt):
+            if omega is None:
+                phi_k, tau_k = pt
+                om_k = None
+            else:
+                phi_k, om_k, tau_k = pt
+                om_k = jnp.broadcast_to(om_k, batch_shape)
+            Hr, Hi = _h16(jnp.broadcast_to(phi_k, batch_shape),
+                          jnp.broadcast_to(delta1, batch_shape),
+                          jnp.broadcast_to(delta2, batch_shape),
+                          jnp.broadcast_to(epsilon, batch_shape),
+                          system, omega=om_k)
+            Ukr, Uki = _expm16(Hr, Hi, jnp.broadcast_to(tau_k, batch_shape),
+                               order=system.expm_order,
+                               scaling=system.expm_scaling)
+            return _matmul16(Ukr, Uki, *carry), None
+
+        (Ur16, Ui16), _ = jax.lax.scan(body, init, xs)
+        # back to the API layout (..., 4, 4)
+        Ur = jnp.moveaxis(Ur16, 0, -1).reshape(batch_shape + (4, 4))
+        Ui = jnp.moveaxis(Ui16, 0, -1).reshape(batch_shape + (4, 4))
+        return Ur, Ui
+
+    if layout != "ri":
+        raise ValueError(f"unknown layout {layout!r} (soa | ri | auto)")
+
     eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
                            batch_shape + (4, 4))
     init = (eye + jnp.zeros(batch_shape + (4, 4), jnp.float32),
             jnp.zeros(batch_shape + (4, 4), jnp.float32))
 
-    def body(carry, pt):
+    def body_ri(carry, pt):
         if omega is None:
             phi_k, tau_k = pt
             om_k = None
@@ -217,24 +380,24 @@ def propagate_su4(pulses: jax.Array, delta1: jax.Array, delta2: jax.Array,
         Hr, Hi = su4_hamiltonian(
             jnp.broadcast_to(phi_k, batch_shape), delta1, delta2, epsilon,
             system, omega=om_k)
-        Ukr, Uki = expm_taylor_ri(Hr, Hi, jnp.broadcast_to(tau_k, batch_shape),
+        Ukr, Uki = expm_taylor_ri(Hr, Hi,
+                                  jnp.broadcast_to(tau_k, batch_shape),
                                   order=system.expm_order,
                                   scaling=system.expm_scaling)
-        Ur, Ui = _matmul_ri(Ukr, Uki, *carry)
-        return (Ur, Ui), None
+        return _matmul_ri(Ukr, Uki, *carry), None
 
-    xs = (phi, tau) if omega is None else (phi, omega, tau)
-    (Ur, Ui), _ = jax.lax.scan(body, init, xs)
+    (Ur, Ui), _ = jax.lax.scan(body_ri, init, xs)
     return Ur, Ui
 
 
 def propagate_su4_mc(pulses: jax.Array, delta1: jax.Array, delta2: jax.Array,
                      epsilon: jax.Array,
-                     system: TwoQubitSystem = TwoQubitSystem()):
+                     system: TwoQubitSystem = TwoQubitSystem(),
+                     layout: str = "auto"):
     """MC-fused form: pulses ``(B, L, 2)``, disorder ``(B, M)`` →
     (re, im) ``(B, M, 4, 4)`` without materializing pulse repeats."""
     return propagate_su4(pulses[:, None, :, :], delta1, delta2, epsilon,
-                         system)
+                         system, layout=layout)
 
 
 def fidelity_su4_ri(Ur: jax.Array, Ui: jax.Array, Tr_r: jax.Array,

@@ -71,8 +71,12 @@ def build_phi(params: jax.Array, t: jax.Array, omegas: jax.Array) -> jax.Array:
     a = params[..., 1:1 + N]
     b = params[..., 1 + N:1 + 2 * N]
     wt = omegas[..., :, None] * t  # (..., N, T)
-    # (..., 1, N) @ (..., N, T) -> (..., 1, T): MXU-friendly contraction
-    synth = (a[..., None, :] @ jnp.cos(wt) + b[..., None, :] @ jnp.sin(wt))
+    # (..., 1, N) @ (..., N, T) -> (..., 1, T): MXU-friendly contraction.
+    # Precision pinned: TPU default truncates f32 MXU inputs to bf16, which
+    # at N=2000 modes costs ~1e-2 absolute phase error in the synthesis.
+    P = jax.lax.Precision.HIGHEST
+    synth = (jnp.matmul(a[..., None, :], jnp.cos(wt), precision=P)
+             + jnp.matmul(b[..., None, :], jnp.sin(wt), precision=P))
     return phi0 + synth[..., 0, :]
 
 

@@ -74,6 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mid-band collapse recovery threshold (0 = off)")
     p.add_argument("--state_every", type=int, default=0,
                    help="checkpoint FULL resume state every N epochs")
+    p.add_argument("--curriculum", default="0.2,0.4,0.7",
+                   help="comma-separated delta_std curriculum bands.  The "
+                        "universal SU(4) inversion task benefits from a "
+                        "clean sigma=0 first band (learn the control map "
+                        "before robustness), e.g. '0,0.2,0.4'")
     return p
 
 
@@ -111,7 +116,8 @@ def main(argv=None) -> None:
         params = transfer_encoder_params(single_params, params)
         print(f"transferred encoder from {args.pretrained_single_qubit}")
 
-    curriculum = [CurriculumBand(d) for d in (0.2, 0.4, 0.7)]
+    curriculum = [CurriculumBand(float(d))
+                  for d in args.curriculum.split(",") if d != ""]
 
     with MetricsLogger(path=f"{args.save_path}/metrics.csv",
                        echo=True) as logger:
