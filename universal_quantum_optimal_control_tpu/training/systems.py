@@ -68,10 +68,16 @@ class SU2System:
 
 class SU4System:
     """Two-qubit system: independent per-qubit ORE + shared PLE, targets as
-    (re, im) 4×4 pairs stacked into ``(B, 2, 4, 4)``."""
+    (re, im) 4×4 pairs stacked into ``(B, 2, 4, 4)``.
 
-    def __init__(self, xtalk: float = 0.1, coupling: float = 0.5) -> None:
+    ``backend``: "xla" differentiates the SoA scan (autodiff); "pallas" uses
+    the fused forward objective + fused reverse-sweep VJP kernels
+    (``ops/propagate_su4_pallas{,_bwd}.py`` — O(1) residuals)."""
+
+    def __init__(self, xtalk: float = 0.1, coupling: float = 0.5,
+                 backend: str = "xla") -> None:
         self.system = su4_mod.TwoQubitSystem(xtalk=xtalk, coupling=coupling)
+        self.backend = backend
 
     @staticmethod
     def pack_target(U) -> jax.Array:
@@ -95,6 +101,14 @@ class SU4System:
 
     def local_mean_fidelity(self, pulses, target, errors):
         delta1, delta2, eps = errors
+        if self.backend == "pallas":
+            from ..ops.propagate_su4_pallas_bwd import (
+                mean_fidelity_su4_trainable,
+            )
+            return mean_fidelity_su4_trainable(
+                pulses, target[:, 0], target[:, 1], delta1, delta2, eps,
+                self.system.xtalk, self.system.coupling,
+                self.system.expm_scaling)
         Ur, Ui = su4_mod.propagate_su4_mc(pulses, delta1, delta2, eps,
                                           self.system)
         F = su4_mod.fidelity_su4_ri(

@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mid-band collapse recovery threshold (0 = off)")
     p.add_argument("--state_every", type=int, default=0,
                    help="checkpoint FULL resume state every N epochs")
+    p.add_argument("--backend", default="xla", choices=["xla", "pallas"],
+                   help="objective path: autodiff through the SoA scan, or "
+                        "the fused Pallas forward + reverse-sweep VJP "
+                        "kernels")
     p.add_argument("--curriculum", default="0.2,0.4,0.7",
                    help="comma-separated delta_std curriculum bands.  The "
                         "universal SU(4) inversion task benefits from a "
@@ -84,7 +88,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    system = SU4System(xtalk=args.xtalk, coupling=args.coupling)
+    system = SU4System(xtalk=args.xtalk, coupling=args.coupling,
+                       backend=args.backend)
 
     model = TwoQubitQOCTransformer(
         pulse_space=normalize_pulse_space({"phi": (-3.15, 3.15),
