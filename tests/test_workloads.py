@@ -197,6 +197,40 @@ def test_demo_blend_variant_serves_with_base_pulse():
     app.load_pipeline.cache_clear()
 
 
+def test_export_npz_roundtrip(tmp_path):
+    """Orbax band checkpoint -> f16 npz -> load through the demo path."""
+    from universal_quantum_optimal_control_tpu.workloads import (
+        export_npz,
+        universal_single_qubit as w,
+    )
+
+    cfg = {
+        "num_qubits": 1,
+        "pulse_space": {"phi": [-3.15, 3.15], "tau": [0.1, 0.5]},
+        "max_pulses": 6, "d_model": 16, "n_layers": 1, "n_heads": 2,
+        "dropout": 0.1, "finetune": None,
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    w.main(["--num_epoch", "1", "--save_path", str(tmp_path / "t"),
+            "--config", str(cfg_path), "--batch_size", "4",
+            "--monte_carlo", "8", "--train_size", "8", "--eval_size", "4"])
+    out = tmp_path / "t.npz"
+    export_npz.main([f"{tmp_path / 't'}:band2_delta1_eps0.05", str(out)])
+    assert out.exists()
+
+    from universal_quantum_optimal_control_tpu.demo import app
+    app.MODEL_VARIANTS["_tiny_export"] = {"config": str(cfg_path),
+                                          "checkpoint": str(out)}
+    try:
+        app.load_pipeline.cache_clear()
+        pulses, _ = app.compute_pulses("_tiny_export", 1.0, 0.0, 0.0, 1.0)
+        assert pulses.shape == (6, 2)
+    finally:
+        del app.MODEL_VARIANTS["_tiny_export"]
+        app.load_pipeline.cache_clear()
+
+
 def test_shipped_length400_weights_load_and_perform():
     """The shipped length_400 blend artifact: E[F] > 0.9 at sigma=0.4 on
     X(pi) (trained band bests 0.998/0.984/0.957 — see weights/README.md)."""
