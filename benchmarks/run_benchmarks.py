@@ -162,6 +162,39 @@ def main() -> None:
     dt = timed_chain(step_su4_pallas, iters=8)
     record("su4_L24_pallas_mc_propagation", B4 * M4p / dt, "props/s")
 
+    # 7. SU(4) training objective: fused fwd+bwd kernels vs XLA autodiff
+    from universal_quantum_optimal_control_tpu.ops.propagate_su4_pallas_bwd import (  # noqa: E501
+        mean_fidelity_su4_trainable,
+    )
+
+    M4g = 1 << 14
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(B4, 4, 4)) + 1j * rng.normal(size=(B4, 4, 4))
+    Qt = np.stack([np.linalg.qr(a)[0] for a in A]).astype(np.complex64)
+    t_r = jnp.asarray(Qt.real, jnp.float32)
+    t_i = jnp.asarray(Qt.imag, jnp.float32)
+
+    def vg_su4_pallas(c):
+        def f(p):
+            return jnp.sum(mean_fidelity_su4_trainable(
+                p, t_r, t_i, d1[:, :M4g] + c, d2[:, :M4g], e4[:, :M4g]))
+        v, g = jax.value_and_grad(f)(p4)
+        return v * 1e-12 + jnp.sum(g) * 1e-12, None
+
+    def vg_su4_xla(c):
+        def f(p):
+            Ur, Ui = su4.propagate_su4_mc(p, d1[:, :M4g] + c, d2[:, :M4g],
+                                          e4[:, :M4g], system)
+            F = su4.fidelity_su4_ri(Ur, Ui, t_r[:, None], t_i[:, None])
+            return jnp.sum(jnp.mean(F, axis=1))
+        v, g = jax.value_and_grad(f)(p4)
+        return v * 1e-12 + jnp.sum(g) * 1e-12, None
+
+    dt = timed_chain(vg_su4_pallas, iters=6)
+    record("su4_L24_value_and_grad_pallas", B4 * M4g / dt, "props/s")
+    dt = timed_chain(vg_su4_xla, iters=6)
+    record("su4_L24_value_and_grad_xla_soa", B4 * M4g / dt, "props/s")
+
     print(json.dumps({"device": str(jax.devices()[0])}))
 
 
