@@ -27,7 +27,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .propagate_pallas import LANES, _interpret, _mc_grid, _pad_mc
+from .propagate_pallas import (
+    DEFAULT_SINCOS,
+    LANES,
+    _interpret,
+    _mc_grid,
+    _pad_mc,
+    _sincos_poly,
+)
+
+
+def _sincos(x, sincos):
+    if sincos == "poly":
+        return _sincos_poly(x)
+    return jnp.sin(x), jnp.cos(x)
 
 __all__ = ["propagate_mc_vjp_pallas"]
 
@@ -49,15 +62,17 @@ def _conj(a):
     return (aw, -ax, -ay, -az)
 
 
-def _seg_quat(phi, tau, delta, eps, anorm, inv_anorm):
+def _seg_quat(phi, tau, delta, eps, anorm, inv_anorm, sincos="native"):
     half = 0.5 * tau * (1.0 + eps) * anorm
-    c = jnp.cos(half)
-    s = jnp.sin(half) * inv_anorm
-    return (c, s * jnp.cos(phi), s * jnp.sin(phi), s * delta)
+    sh, c = _sincos(half, sincos)
+    sp, cp = _sincos(phi, sincos)
+    s = sh * inv_anorm
+    return (c, s * cp, s * sp, s * delta)
 
 
 def _bwd_kernel(phi_ref, tau_ref, delta_ref, eps_ref, g_ref,
-                dphi_ref, dtau_ref, ddelta_ref, deps_ref, *, L):
+                dphi_ref, dtau_ref, ddelta_ref, deps_ref, *, L,
+                sincos="native"):
     b = pl.program_id(0)
     j = pl.program_id(1)
     delta = delta_ref[0]
@@ -81,7 +96,7 @@ def _bwd_kernel(phi_ref, tau_ref, delta_ref, eps_ref, g_ref,
     # ---- forward: full product P = q_L ⊗ ⋯ ⊗ q_1 -------------------------
     def fwd_body(k, P):
         q = _seg_quat(phi_ref[b, k], tau_ref[b, k], delta, eps,
-                      anorm, inv_anorm)
+                      anorm, inv_anorm, sincos)
         return _hprod(q, P)
 
     unroll = L <= 64  # static unroll for short sequences; fori for L=400
@@ -101,11 +116,9 @@ def _bwd_kernel(phi_ref, tau_ref, delta_ref, eps_ref, g_ref,
         phi = phi_ref[b, k]
         tau = tau_ref[b, k]
         half = 0.5 * tau * (1.0 + eps) * anorm
-        c = jnp.cos(half)
-        sn = jnp.sin(half)          # sin(half)
-        s = sn * inv_anorm          # sin(half)/n
-        cphi = jnp.cos(phi)
-        sphi = jnp.sin(phi)
+        sn, c = _sincos(half, sincos)   # sin(half), cos(half)
+        s = sn * inv_anorm              # sin(half)/n
+        sphi, cphi = _sincos(phi, sincos)
         q = (c, s * cphi, s * sphi, s * delta)
 
         # R_k = P_{k-1} = q_k^{-1} ⊗ P   (unit quaternion inverse = conj)
@@ -153,10 +166,11 @@ def _bwd_kernel(phi_ref, tau_ref, delta_ref, eps_ref, g_ref,
     deps_ref[0] = de
 
 
-@functools.partial(jax.jit, static_argnames=("tile_rows",))
+@functools.partial(jax.jit, static_argnames=("tile_rows", "sincos"))
 def propagate_mc_vjp_pallas(pulses: jax.Array, delta: jax.Array,
                             eps: jax.Array, g: jax.Array,
-                            tile_rows: int = 64) -> Tuple[jax.Array, ...]:
+                            tile_rows: int = 64,
+                            sincos: str = None) -> Tuple[jax.Array, ...]:
     """VJP of the MC propagator: cotangent ``g (B, M, 4)`` →
     ``(dpulses (B, L, 2), ddelta (B, M), deps (B, M))``.
 
@@ -167,6 +181,7 @@ def propagate_mc_vjp_pallas(pulses: jax.Array, delta: jax.Array,
     (a zero cotangent contributes exactly zero to every gradient), and the
     padded per-sample gradients are sliced off.
     """
+    sincos = sincos if sincos is not None else DEFAULT_SINCOS
     B, L, _ = pulses.shape
     delta, eps, g, M_orig = _pad_mc(delta, eps, g)
     M = delta.shape[1]
@@ -178,7 +193,7 @@ def propagate_mc_vjp_pallas(pulses: jax.Array, delta: jax.Array,
     g_r = jnp.moveaxis(g, -1, 1).reshape(B, 4, rows, LANES)
 
     dphi, dtau, ddelta, deps = pl.pallas_call(
-        functools.partial(_bwd_kernel, L=L),
+        functools.partial(_bwd_kernel, L=L, sincos=sincos),
         grid=(B, ntiles),
         in_specs=[
             pl.BlockSpec((B, L), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
