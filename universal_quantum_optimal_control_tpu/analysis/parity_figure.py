@@ -24,7 +24,6 @@ from typing import Dict, Optional
 import jax
 import numpy as np
 
-from ..core.su2 import rotation_vector_to_quat
 from ..data.su2_targets import named_gate_rotation_vectors
 from .plots import fidelity_by_std, mc_fidelity_estimate
 from .score_pulses import NAMED_SCORE_TARGETS, build_score_pulses

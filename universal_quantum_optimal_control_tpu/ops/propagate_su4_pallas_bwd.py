@@ -33,8 +33,6 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import List, Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -51,7 +49,6 @@ from .propagate_su4_pallas import (
     _mc_grid,
     _pad_mc,
     _split_pulses,
-    _zeros_like_mat,
     mean_fidelity_su4_pallas,
 )
 
