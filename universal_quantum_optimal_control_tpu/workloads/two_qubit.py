@@ -74,6 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mid-band collapse recovery threshold (0 = off)")
     p.add_argument("--state_every", type=int, default=0,
                    help="checkpoint FULL resume state every N epochs")
+    p.add_argument("--pulse_params", type=int, default=2, choices=[2, 3],
+                   help="2 = (phi, tau); 3 = (phi, Omega, tau) amplitude "
+                        "control — Omega -> 0 expresses free-ZZ evolution, "
+                        "the resource that makes CZ reachable (see "
+                        "optimizers/two_qubit_grape.py)")
     p.add_argument("--backend", default="xla", choices=["xla", "pallas"],
                    help="objective path: autodiff through the SoA scan, or "
                         "the fused Pallas forward + reverse-sweep VJP "
@@ -91,9 +96,12 @@ def main(argv=None) -> None:
     system = SU4System(xtalk=args.xtalk, coupling=args.coupling,
                        backend=args.backend)
 
+    space = {"phi": (-3.15, 3.15), "tau": (0.1, 0.5)}
+    if args.pulse_params == 3:
+        space = {"phi": (-3.15, 3.15), "omega": (0.0, 1.0),
+                 "tau": (0.1, 0.5)}
     model = TwoQubitQOCTransformer(
-        pulse_space=normalize_pulse_space({"phi": (-3.15, 3.15),
-                                           "tau": (0.1, 0.5)}),
+        pulse_space=normalize_pulse_space(space),
         max_pulses=args.max_pulses, d_model=args.d_model,
         n_layers=args.n_layers, n_heads=args.n_heads,
         dtype=jnp.float32 if args.dtype == "f32" else jnp.bfloat16,
