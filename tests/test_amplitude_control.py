@@ -149,3 +149,45 @@ def test_amplitude_control_reaches_pure_zz_evolution():
         best2 = max(best2, float(su4.fidelity_su4_ri(Ur, Ui, Tr_r, Tr_i)[0]))
     assert best2 < 1 - 1e-4, best2
     assert f3 > best2
+
+
+def test_su2_system_pallas_backend_amplitude_control():
+    """The fused Pallas backend accepts the 3-parameter space end-to-end
+    (round-2 hazard: it silently misread (φ,Ω,τ) tables as (φ,τ))."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from universal_quantum_optimal_control_tpu.training.systems import (
+        SU2System,
+    )
+
+    rng = np.random.default_rng(5)
+    B, L, M = 2, 6, 256
+    pulses = jnp.asarray(np.stack(
+        [rng.uniform(-np.pi, np.pi, (B, L)),
+         rng.uniform(0.1, 1.5, (B, L)),
+         rng.uniform(0.05, 0.5, (B, L))], axis=-1).astype(np.float32))
+    q_t = su2.quat_normalize(jnp.asarray(
+        rng.normal(size=(B, 4)).astype(np.float32)))
+    errors = SU2System().sample_errors(jax.random.PRNGKey(0), (B, M), 1.0,
+                                       0.05)
+    with pltpu.force_tpu_interpret_mode():
+        f_pallas = SU2System(backend="pallas").local_mean_fidelity(
+            pulses, q_t, errors)
+    f_xla = SU2System(backend="xla").local_mean_fidelity(pulses, q_t, errors)
+    np.testing.assert_allclose(np.asarray(f_pallas), np.asarray(f_xla),
+                               atol=1e-5)
+
+
+def test_su4_pallas_backend_rejects_nondefault_expm_order():
+    from universal_quantum_optimal_control_tpu.training.systems import (
+        SU4System,
+    )
+    import pytest
+
+    system = SU4System(backend="pallas")
+    system.system = system.system._replace(expm_order=6)
+    pulses = jnp.zeros((1, 2, 2))
+    target = jnp.zeros((1, 2, 4, 4))
+    errors = (jnp.zeros((1, 8)), jnp.zeros((1, 8)), jnp.zeros((1, 8)))
+    with pytest.raises(NotImplementedError, match="expm"):
+        system.local_mean_fidelity(pulses, target, errors)

@@ -177,3 +177,93 @@ def test_poly_sincos_primitive_accuracy():
                                atol=2e-6)
     np.testing.assert_allclose(np.asarray(c), np.cos(np.asarray(x)),
                                atol=2e-6)
+
+
+# ---- 3-parameter (phi, Omega, tau) amplitude-modulated pulse space --------
+
+def make_amp_inputs(B=3, L=12, M=256, seed=11, omega_min=0.1):
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    phi = jax.random.uniform(k1, (B, L), minval=-np.pi, maxval=np.pi)
+    omega = jax.random.uniform(k2, (B, L), minval=omega_min, maxval=1.8)
+    tau = jax.random.uniform(k3, (B, L), minval=0.05, maxval=0.5)
+    pulses = jnp.stack([phi, omega, tau], axis=-1)
+    delta = jax.random.normal(k4, (B, M))
+    eps = jax.random.normal(k5, (B, M)) * 0.05
+    return pulses, delta, eps
+
+
+def test_amp_propagate_mc_pallas_matches_xla():
+    pulses, delta, eps = make_amp_inputs()
+    q_pallas = pk.propagate_mc_pallas(pulses, delta, eps)
+    q_xla = xla_prop.propagate_mc(pulses, delta, eps)
+    np.testing.assert_allclose(np.asarray(q_pallas), np.asarray(q_xla),
+                               atol=1e-5)
+
+
+def test_amp_mean_fidelity_pallas_matches_xla():
+    pulses, delta, eps = make_amp_inputs(B=2, seed=12)
+    q_t = su2.quat_normalize(jax.random.normal(jax.random.PRNGKey(7), (2, 4)))
+    f_pallas = pk.mean_fidelity_pallas(pulses, q_t, delta, eps)
+    q = xla_prop.propagate_mc(pulses, delta, eps)
+    f_xla = jnp.mean(su2.quat_fidelity(q, q_t[:, None, :]), axis=1)
+    np.testing.assert_allclose(np.asarray(f_pallas), np.asarray(f_xla),
+                               atol=1e-5)
+
+
+def test_amp_omega_zero_segment_matches_xla():
+    """Ω = 0 (free-evolution) segments exercise the clamped-norm guard."""
+    pulses, delta, eps = make_amp_inputs(B=2, L=6, M=128, seed=13)
+    pulses = pulses.at[:, 1, 1].set(0.0).at[:, 4, 1].set(0.0)
+    q_pallas = pk.propagate_mc_pallas(pulses, delta, eps)
+    q_xla = xla_prop.propagate_mc(pulses, delta, eps)
+    np.testing.assert_allclose(np.asarray(q_pallas), np.asarray(q_xla),
+                               atol=1e-5)
+
+
+def test_amp_gradients_match_xla():
+    pulses, delta, eps = make_amp_inputs(B=2, L=6, M=128, seed=14)
+    q_t = su2.quat_normalize(jax.random.normal(jax.random.PRNGKey(9), (2, 4)))
+
+    def obj_pallas(p, d, e):
+        return 1.0 - jnp.mean(pk.mean_fidelity_pallas(p, q_t, d, e))
+
+    def obj_xla(p, d, e):
+        q = xla_prop.propagate_mc(p, d, e)
+        return 1.0 - jnp.mean(su2.quat_fidelity(q, q_t[:, None, :]))
+
+    g_p = jax.grad(obj_pallas, argnums=(0, 1, 2))(pulses, delta, eps)
+    g_x = jax.grad(obj_xla, argnums=(0, 1, 2))(pulses, delta, eps)
+    for a, b in zip(g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_amp_negative_omega_clamp_gradient():
+    """Segments with Ω_raw < 0 are clamped to free evolution and their Ω
+    cotangent is zero — matching the XLA ``maximum(Ω, 0)`` semantics."""
+    pulses, delta, eps = make_amp_inputs(B=1, L=5, M=128, seed=15)
+    pulses = pulses.at[0, 2, 1].set(-0.3)
+    q_t = su2.quat_normalize(jax.random.normal(jax.random.PRNGKey(3), (1, 4)))
+
+    def obj_pallas(p):
+        return jnp.mean(pk.mean_fidelity_pallas(p, q_t, delta, eps))
+
+    def obj_xla(p):
+        q = xla_prop.propagate_mc(p, delta, eps)
+        return jnp.mean(su2.quat_fidelity(q, q_t[:, None, :]))
+
+    g_p = jax.grad(obj_pallas)(pulses)
+    g_x = jax.grad(obj_xla)(pulses)
+    assert float(g_p[0, 2, 1]) == 0.0
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=1e-5)
+
+
+def test_unsupported_pulse_param_count_raises():
+    """P ∉ {2, 3} must be an error, not silent wrong physics."""
+    pulses, delta, eps = make_inputs(B=1, L=4, M=128)
+    p4 = jnp.concatenate([pulses, pulses], axis=-1)  # P = 4
+    with pytest.raises(ValueError, match="parameter count"):
+        pk.propagate_mc_pallas(p4, delta, eps)
+    q_t = su2.quat_normalize(jax.random.normal(jax.random.PRNGKey(1), (1, 4)))
+    with pytest.raises(ValueError, match="parameter count"):
+        pk.mean_fidelity_pallas(p4, q_t, delta, eps)

@@ -80,20 +80,31 @@ def _sincos_poly(x):
     return s * sign, c * sign
 
 
-def _segment_loop(phi_ref, tau_ref, b, delta, eps, L, sincos="native"):
+def _segment_loop(pulse_refs, b, delta, eps, L, sincos="native"):
     """Shared kernel body: compose L segments over a (rows, 128) sample tile.
 
-    phi_ref/tau_ref hold the FULL (B, L) pulse tables in SMEM (they are tiny);
+    ``pulse_refs`` holds the FULL (B, L) pulse tables in SMEM (they are tiny)
+    — ``(phi, tau)`` for the 2-parameter fixed-amplitude space or
+    ``(phi, omega, tau)`` for the amplitude-modulated space (the general
+    pulse-space contract the reference declares at universal_model.py:31).
     ``b`` is the target index for this grid step.  delta/eps are (rows, 128)
     sample arrays.  Returns the 4 quaternion components.
 
     ``sincos``: "native" (libm sin/cos) or "poly" (fused reduced-range
     polynomial — see :func:`_sincos_poly`).
     """
-    anorm2 = 1.0 + delta * delta
-    anorm = jnp.sqrt(anorm2)
-    inv_anorm = 1.0 / anorm
-    scale = 0.5 * (1.0 + eps) * anorm  # tau multiplier per sample
+    amp = len(pulse_refs) == 3
+    if amp:
+        phi_ref, om_ref, tau_ref = pulse_refs
+        scale = 0.5 * (1.0 + eps)  # per-sample; axis norm varies per segment
+    else:
+        phi_ref, tau_ref = pulse_refs
+        # P=2: the axis (cosφ, sinφ, δ) has per-sample norm √(1+δ²) that is
+        # CONSTANT across segments — hoist it out of the loop
+        anorm2 = 1.0 + delta * delta
+        anorm = jnp.sqrt(anorm2)
+        inv_anorm = 1.0 / anorm
+        scale = 0.5 * (1.0 + eps) * anorm  # tau multiplier per sample
 
     qw = jnp.ones_like(delta)
     qx = jnp.zeros_like(delta)
@@ -101,17 +112,25 @@ def _segment_loop(phi_ref, tau_ref, b, delta, eps, L, sincos="native"):
     qz = jnp.zeros_like(delta)
 
     for k in range(L):  # static unroll: L is a compile-time constant
-        phi = phi_ref[b, k]
-        tau = tau_ref[b, k]
-        half = tau * scale
+        phi = pulse_refs[0][b, k]
+        tau = pulse_refs[-1][b, k]
+        if amp:
+            om = jnp.maximum(om_ref[b, k], 0.0)
+            # axis (Ω·cosφ, Ω·sinφ, δ): norm depends on the segment's Ω
+            anorm2 = jnp.maximum(om * om + delta * delta, 1e-12)
+            inv_anorm = jax.lax.rsqrt(anorm2)
+            half = tau * scale * anorm2 * inv_anorm  # τ·½(1+ε)·‖a‖
+        else:
+            om = 1.0
+            half = tau * scale
         if sincos == "poly":
             sh, w = _sincos_poly(half)
             s = sh * inv_anorm
         else:
             w = jnp.cos(half)
             s = jnp.sin(half) * inv_anorm
-        x = s * jnp.cos(phi)
-        y = s * jnp.sin(phi)
+        x = s * (om * jnp.cos(phi))
+        y = s * (om * jnp.sin(phi))
         z = s * delta
         # carry <- q_k * carry  (Hamilton product)
         nw = w * qw - x * qx - y * qy - z * qz
@@ -122,12 +141,12 @@ def _segment_loop(phi_ref, tau_ref, b, delta, eps, L, sincos="native"):
     return qw, qx, qy, qz
 
 
-def _prop_kernel(phi_ref, tau_ref, delta_ref, eps_ref, out_ref, *, L,
-                 sincos):
+def _prop_kernel(*refs, L, sincos):
+    *pulse_refs, delta_ref, eps_ref, out_ref = refs
     b = pl.program_id(0)
     delta = delta_ref[0]
     eps = eps_ref[0]
-    qw, qx, qy, qz = _segment_loop(phi_ref, tau_ref, b, delta, eps, L,
+    qw, qx, qy, qz = _segment_loop(tuple(pulse_refs), b, delta, eps, L,
                                    sincos=sincos)
     out_ref[0, 0] = qw
     out_ref[0, 1] = qx
@@ -135,12 +154,12 @@ def _prop_kernel(phi_ref, tau_ref, delta_ref, eps_ref, out_ref, *, L,
     out_ref[0, 3] = qz
 
 
-def _fid_kernel(phi_ref, tau_ref, qt_ref, delta_ref, eps_ref, sum_ref, *, L,
-                M_valid, tr, sincos):
+def _fid_kernel(*refs, L, M_valid, tr, sincos):
+    *pulse_refs, qt_ref, delta_ref, eps_ref, sum_ref = refs
     b = pl.program_id(0)
     delta = delta_ref[0]
     eps = eps_ref[0]
-    qw, qx, qy, qz = _segment_loop(phi_ref, tau_ref, b, delta, eps, L,
+    qw, qx, qy, qz = _segment_loop(tuple(pulse_refs), b, delta, eps, L,
                                    sincos=sincos)
     # entanglement fidelity from quaternion inner product:
     # F = (4<q, qt>^2 + 2) / 6  (SCORE.py:168-183 in quaternion form)
@@ -192,30 +211,42 @@ def _mc_grid(B: int, M: int, tile_rows: int) -> Tuple[int, int, int]:
     return rows, tr, rows // tr
 
 
+def _pulse_columns(pulses):
+    """Split ``(B, L, P)`` pulses into P ``(B, L)`` SMEM tables, validating
+    the parameter count (P=2 ``(φ,τ)`` or P=3 ``(φ,Ω,τ)``)."""
+    P = pulses.shape[-1]
+    if P not in (2, 3):
+        raise ValueError(
+            f"SU(2) Pallas propagator supports pulse parameter counts 2 "
+            f"(phi, tau) and 3 (phi, omega, tau); got P={P} "
+            f"(pulses shape {pulses.shape})")
+    return tuple(pulses[..., i] for i in range(P))
+
+
 @functools.partial(jax.jit, static_argnames=("tile_rows", "sincos"))
 def _propagate_mc_pallas_raw(pulses, delta, eps, tile_rows=_DEF_ROWS,
                              sincos=None):
-    """(B, L, 2) pulses × (B, M) disorder → (B, M, 4) quaternions.
+    """(B, L, P) pulses × (B, M) disorder → (B, M, 4) quaternions, P ∈ {2,3}.
 
     M need not be a lane multiple: the MC axis is zero-padded up to one and
     the padded rows are sliced off the result (exact)."""
     B, L, _ = pulses.shape
     sincos = sincos if sincos is not None else DEFAULT_SINCOS
+    cols = _pulse_columns(pulses)
     delta, eps, M_orig = _pad_mc(delta, eps)
     M = delta.shape[1]
     rows, tr, ntiles = _mc_grid(B, M, tile_rows)
-    phi = pulses[..., 0]  # (B, L)
-    tau = pulses[..., 1]
     delta_r = delta.reshape(B, rows, LANES)
     eps_r = eps.reshape(B, rows, LANES)
 
+    smem_spec = pl.BlockSpec((B, L), lambda b, j: (0, 0),
+                             memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         functools.partial(_prop_kernel, L=L, sincos=sincos),
         grid=(B, ntiles),
         in_specs=[
             # full (B, L) pulse tables live in SMEM (tiny); indexed by program_id
-            pl.BlockSpec((B, L), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((B, L), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
+            *([smem_spec] * len(cols)),
             pl.BlockSpec((1, tr, LANES), lambda b, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tr, LANES), lambda b, j: (b, j, 0),
@@ -229,13 +260,14 @@ def _propagate_mc_pallas_raw(pulses, delta, eps, tile_rows=_DEF_ROWS,
             bytes_accessed=B * (L * 8 + M * 8 + M * 16),
         ),
         interpret=_interpret(),
-    )(phi, tau, delta_r, eps_r)
+    )(*cols, delta_r, eps_r)
     return jnp.moveaxis(out, 1, -1).reshape(B, M, 4)[:, :M_orig]
 
 
 @jax.custom_vjp
 def propagate_mc_pallas(pulses: jax.Array, delta: jax.Array, eps: jax.Array) -> jax.Array:
-    """Monte-Carlo–fused Pallas propagator: ``(B,L,2) × (B,M) → (B,M,4)``.
+    """Monte-Carlo–fused Pallas propagator: ``(B,L,P) × (B,M) → (B,M,4)``,
+    P ∈ {2, 3} (``(φ,τ)`` fixed-amplitude / ``(φ,Ω,τ)`` amplitude-modulated).
 
     Forward runs the fused Mosaic kernel; backward is the fused Pallas
     reverse-sweep kernel (:func:`.propagate_pallas_bwd.propagate_mc_vjp_pallas`
@@ -264,22 +296,22 @@ def _mean_fid_raw(pulses, q_target, delta, eps, tile_rows=_DEF_ROWS,
                   sincos=None):
     B, L, _ = pulses.shape
     sincos = sincos if sincos is not None else DEFAULT_SINCOS
+    cols = _pulse_columns(pulses)
     delta, eps, M_orig = _pad_mc(delta, eps)
     M = delta.shape[1]
     rows, tr, ntiles = _mc_grid(B, M, tile_rows)
-    phi = pulses[..., 0]
-    tau = pulses[..., 1]
     delta_r = delta.reshape(B, rows, LANES)
     eps_r = eps.reshape(B, rows, LANES)
 
+    smem_spec = pl.BlockSpec((B, L), lambda b, j: (0, 0),
+                             memory_space=pltpu.SMEM)
     sums = pl.pallas_call(
         functools.partial(_fid_kernel, L=L,
                           M_valid=(M_orig if M_orig != M else None), tr=tr,
                           sincos=sincos),
         grid=(B, ntiles),
         in_specs=[
-            pl.BlockSpec((B, L), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((B, L), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
+            *([smem_spec] * len(cols)),
             pl.BlockSpec((B, 4), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tr, LANES), lambda b, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
@@ -295,7 +327,7 @@ def _mean_fid_raw(pulses, q_target, delta, eps, tile_rows=_DEF_ROWS,
             bytes_accessed=B * (L * 8 + M * 8 + 4),
         ),
         interpret=_interpret(),
-    )(phi, tau, q_target, delta_r, eps_r)
+    )(*cols, q_target, delta_r, eps_r)
     return sums[:, 0] / M_orig
 
 
@@ -304,7 +336,7 @@ def mean_fidelity_pallas(pulses: jax.Array, q_target: jax.Array,
                          delta: jax.Array, eps: jax.Array) -> jax.Array:
     """Fully fused objective: per-target mean entanglement fidelity.
 
-    ``(B,L,2) pulses, (B,4) target quaternions, (B,M) disorder →
+    ``(B,L,P) pulses (P ∈ {2,3}), (B,4) target quaternions, (B,M) disorder →
     (B,) E_M[F]`` — propagation, fidelity, and the MC mean reduce on-chip;
     only B scalars are written to HBM.
     """

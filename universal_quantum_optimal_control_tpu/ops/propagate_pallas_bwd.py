@@ -62,24 +62,29 @@ def _conj(a):
     return (aw, -ax, -ay, -az)
 
 
-def _seg_quat(phi, tau, delta, eps, anorm, inv_anorm, sincos="native"):
-    half = 0.5 * tau * (1.0 + eps) * anorm
-    sh, c = _sincos(half, sincos)
-    sp, cp = _sincos(phi, sincos)
-    s = sh * inv_anorm
-    return (c, s * cp, s * sp, s * delta)
+def _bwd_kernel(*refs, L, amp, sincos="native"):
+    """Fused VJP sweep.  ``amp=False``: 2-parameter ``(φ, τ)`` refs
+    ``(phi, tau, δ, ε, g → dphi, dtau, dδ, dε)``; ``amp=True``: 3-parameter
+    ``(φ, Ω, τ)`` refs ``(phi, om, tau, δ, ε, g → dphi, dom, dtau, dδ, dε)``.
 
-
-def _bwd_kernel(phi_ref, tau_ref, delta_ref, eps_ref, g_ref,
-                dphi_ref, dtau_ref, ddelta_ref, deps_ref, *, L,
-                sincos="native"):
+    Ω is clamped at 0 like the XLA path (``segment_quat_amp``); its cotangent
+    is gated on ``Ω_raw > 0`` (XLA's ``maximum`` splits the tie at exactly 0 —
+    a measure-zero difference)."""
+    if amp:
+        (phi_ref, om_ref, tau_ref, delta_ref, eps_ref, g_ref,
+         dphi_ref, dom_ref, dtau_ref, ddelta_ref, deps_ref) = refs
+    else:
+        (phi_ref, tau_ref, delta_ref, eps_ref, g_ref,
+         dphi_ref, dtau_ref, ddelta_ref, deps_ref) = refs
     b = pl.program_id(0)
     j = pl.program_id(1)
     delta = delta_ref[0]
     eps = eps_ref[0]
-    anorm2 = 1.0 + delta * delta
-    anorm = jnp.sqrt(anorm2)
-    inv_anorm = 1.0 / anorm
+    if not amp:
+        # P=2 axis norm √(1+δ²) is segment-independent — hoist it
+        anorm2 = 1.0 + delta * delta
+        anorm = jnp.sqrt(anorm2)
+        inv_anorm = 1.0 / anorm
 
     @pl.when(j == 0)
     def _():
@@ -87,16 +92,37 @@ def _bwd_kernel(phi_ref, tau_ref, delta_ref, eps_ref, g_ref,
         def zero_k(k, _):
             dphi_ref[b, k] = 0.0
             dtau_ref[b, k] = 0.0
+            if amp:
+                dom_ref[b, k] = 0.0
             return 0
         jax.lax.fori_loop(0, L, zero_k, 0)
 
     zero = jnp.zeros_like(delta)
     one = jnp.ones_like(delta)
 
+    def seg(k):
+        """Segment quaternion + the intermediates the chain rule reuses."""
+        phi = phi_ref[b, k]
+        tau = tau_ref[b, k]
+        sphi, cphi = _sincos(phi, sincos)
+        if amp:
+            om_raw = om_ref[b, k]
+            om = jnp.maximum(om_raw, 0.0)
+            a2 = jnp.maximum(om * om + delta * delta, 1e-12)
+            inv = jax.lax.rsqrt(a2)
+            n = a2 * inv
+        else:
+            om_raw = om = 1.0
+            n, inv = anorm, inv_anorm
+        half = 0.5 * tau * (1.0 + eps) * n
+        sn, c = _sincos(half, sincos)   # sin(half), cos(half)
+        s = sn * inv                    # sin(half)/‖a‖
+        q = (c, s * (om * cphi), s * (om * sphi), s * delta)
+        return q, (tau, om_raw, om, n, inv, sn, c, s, sphi, cphi)
+
     # ---- forward: full product P = q_L ⊗ ⋯ ⊗ q_1 -------------------------
     def fwd_body(k, P):
-        q = _seg_quat(phi_ref[b, k], tau_ref[b, k], delta, eps,
-                      anorm, inv_anorm, sincos)
+        q, _ = seg(k)
         return _hprod(q, P)
 
     unroll = L <= 64  # static unroll for short sequences; fori for L=400
@@ -113,13 +139,7 @@ def _bwd_kernel(phi_ref, tau_ref, delta_ref, eps_ref, g_ref,
     def bwd_body(i, carry):
         P, cL, dd, de = carry
         k = L - 1 - i
-        phi = phi_ref[b, k]
-        tau = tau_ref[b, k]
-        half = 0.5 * tau * (1.0 + eps) * anorm
-        sn, c = _sincos(half, sincos)   # sin(half), cos(half)
-        s = sn * inv_anorm              # sin(half)/n
-        sphi, cphi = _sincos(phi, sincos)
-        q = (c, s * cphi, s * sphi, s * delta)
+        q, (tau, om_raw, om, n, inv, sn, c, s, sphi, cphi) = seg(k)
 
         # R_k = P_{k-1} = q_k^{-1} ⊗ P   (unit quaternion inverse = conj)
         R = _hprod(_conj(q), P)
@@ -127,29 +147,36 @@ def _bwd_kernel(phi_ref, tau_ref, delta_ref, eps_ref, g_ref,
         A = _hprod(cL, _hprod(g, _conj(R)))
         Aw, Ax, Ay, Az = A
 
-        # chain rule through the closed-form segment quaternion
-        h_tau = 0.5 * (1.0 + eps) * anorm
-        h_eps = 0.5 * tau * anorm
-        h_del = 0.5 * tau * (1.0 + eps) * delta * inv_anorm
-        # ∂q/∂φ = (0, −s·sφ, s·cφ, 0)
-        dphi_s = s * (Ay * cphi - Ax * sphi)
-        # ∂q/∂τ = (−sn·h_τ, c·h_τ/n·(cφ, sφ, δ))
-        ds_tau = c * h_tau * inv_anorm
-        dtau_s = (-sn * h_tau * Aw
-                  + ds_tau * (Ax * cphi + Ay * sphi + Az * delta))
+        # chain rule through the closed-form segment quaternion;
+        # axy = ⟨A_xy, (cφ, sφ)⟩, proj = ⟨A_vec, axis⟩
+        axy = Ax * cphi + Ay * sphi
+        proj = om * axy + Az * delta
+        h_tau = 0.5 * (1.0 + eps) * n
+        h_eps = 0.5 * tau * n
+        h_del = 0.5 * tau * (1.0 + eps) * delta * inv
+        # ∂q/∂φ = (0, −s·Ω·sφ, s·Ω·cφ, 0)
+        dphi_s = (s * om) * (Ay * cphi - Ax * sphi)
+        # ∂q/∂τ = (−sn·h_τ, c·h_τ/n·axis)
+        ds_tau = c * h_tau * inv
+        dtau_s = -sn * h_tau * Aw + ds_tau * proj
         # ∂q/∂ε — same form with h_ε
-        ds_eps = c * h_eps * inv_anorm
-        deps_s = (-sn * h_eps * Aw
-                  + ds_eps * (Ax * cphi + Ay * sphi + Az * delta))
+        ds_eps = c * h_eps * inv
+        deps_s = -sn * h_eps * Aw + ds_eps * proj
         # ∂q/∂δ: ds = c·h_δ/n − s·δ/n², plus the direct s term on z
-        ds_del = c * h_del * inv_anorm - s * delta / anorm2
-        ddel_s = (-sn * h_del * Aw
-                  + ds_del * (Ax * cphi + Ay * sphi + Az * delta)
-                  + s * Az)
+        ds_del = c * h_del * inv - s * delta * (inv * inv)
+        ddel_s = -sn * h_del * Aw + ds_del * proj + s * Az
 
         # per-(b, k) pulse grads: reduce over the sample tile into SMEM
         dphi_ref[b, k] += jnp.sum(dphi_s)
         dtau_ref[b, k] += jnp.sum(dtau_s)
+        if amp:
+            # ∂q/∂Ω: dh/dΩ = ½τ(1+ε)·Ω/n; ds/dΩ = c·h_Ω/n − s·Ω/n²; plus the
+            # direct s·(cφ, sφ) term on (x, y); gated on the Ω ≥ 0 clamp
+            h_om = 0.5 * tau * (1.0 + eps) * om * inv
+            ds_om = c * h_om * inv - s * om * (inv * inv)
+            dom_s = -sn * h_om * Aw + ds_om * proj + s * axy
+            dom_s = jnp.where(om_raw > 0.0, dom_s, 0.0)
+            dom_ref[b, k] += jnp.sum(dom_s)
 
         # update the conjugated left-suffix: conj(L_{k-1}) = conj(q_k) ⊗ cL
         cL_next = _hprod(_conj(q), cL)
@@ -172,7 +199,7 @@ def propagate_mc_vjp_pallas(pulses: jax.Array, delta: jax.Array,
                             tile_rows: int = 64,
                             sincos: str = None) -> Tuple[jax.Array, ...]:
     """VJP of the MC propagator: cotangent ``g (B, M, 4)`` →
-    ``(dpulses (B, L, 2), ddelta (B, M), deps (B, M))``.
+    ``(dpulses (B, L, P), ddelta (B, M), deps (B, M))``, P ∈ {2, 3}.
 
     One fused kernel: forward product rebuild + reverse sweep, no stored
     per-segment residuals.
@@ -181,23 +208,25 @@ def propagate_mc_vjp_pallas(pulses: jax.Array, delta: jax.Array,
     (a zero cotangent contributes exactly zero to every gradient), and the
     padded per-sample gradients are sliced off.
     """
+    from .propagate_pallas import _pulse_columns
+
     sincos = sincos if sincos is not None else DEFAULT_SINCOS
-    B, L, _ = pulses.shape
+    B, L, P = pulses.shape
+    cols = _pulse_columns(pulses)
     delta, eps, g, M_orig = _pad_mc(delta, eps, g)
     M = delta.shape[1]
     rows, tr, ntiles = _mc_grid(B, M, tile_rows)
-    phi = pulses[..., 0]
-    tau = pulses[..., 1]
     delta_r = delta.reshape(B, rows, LANES)
     eps_r = eps.reshape(B, rows, LANES)
     g_r = jnp.moveaxis(g, -1, 1).reshape(B, 4, rows, LANES)
 
-    dphi, dtau, ddelta, deps = pl.pallas_call(
-        functools.partial(_bwd_kernel, L=L, sincos=sincos),
+    smem_spec = pl.BlockSpec((B, L), lambda b, j: (0, 0),
+                             memory_space=pltpu.SMEM)
+    *dcols, ddelta, deps = pl.pallas_call(
+        functools.partial(_bwd_kernel, L=L, amp=(P == 3), sincos=sincos),
         grid=(B, ntiles),
         in_specs=[
-            pl.BlockSpec((B, L), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((B, L), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
+            *([smem_spec] * P),
             pl.BlockSpec((1, tr, LANES), lambda b, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tr, LANES), lambda b, j: (b, j, 0),
@@ -206,26 +235,24 @@ def propagate_mc_vjp_pallas(pulses: jax.Array, delta: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((B, L), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((B, L), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
+            *([smem_spec] * P),
             pl.BlockSpec((1, tr, LANES), lambda b, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tr, LANES), lambda b, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, L), jnp.float32),
-            jax.ShapeDtypeStruct((B, L), jnp.float32),
+            *([jax.ShapeDtypeStruct((B, L), jnp.float32)] * P),
             jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=B * M * L * 150, transcendentals=B * M * L * 8,
-            bytes_accessed=B * (L * 16 + M * 8 + M * 16 + M * 16),
+            bytes_accessed=B * (L * 8 * P + M * 8 + M * 16 + M * 16),
         ),
         interpret=_interpret(),
-    )(phi, tau, delta_r, eps_r, g_r)
+    )(*cols, delta_r, eps_r, g_r)
 
-    dpulses = jnp.stack([dphi, dtau], axis=-1)
+    dpulses = jnp.stack(dcols, axis=-1)
     return (dpulses, ddelta.reshape(B, M)[:, :M_orig],
             deps.reshape(B, M)[:, :M_orig])

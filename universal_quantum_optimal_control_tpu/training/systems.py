@@ -102,6 +102,12 @@ class SU4System:
     def local_mean_fidelity(self, pulses, target, errors):
         delta1, delta2, eps = errors
         if self.backend == "pallas":
+            if self.system.expm_order != 8:
+                raise NotImplementedError(
+                    f"the fused SU(4) Pallas kernels hard-code the order-8 "
+                    f"Paterson–Stockmeyer expm; system.expm_order="
+                    f"{self.system.expm_order} would silently train against "
+                    f"different math — use backend='xla' or expm_order=8")
             from ..ops.propagate_su4_pallas_bwd import (
                 mean_fidelity_su4_trainable,
             )
