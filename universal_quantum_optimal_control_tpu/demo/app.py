@@ -50,6 +50,13 @@ MODEL_VARIANTS: Dict[str, Dict] = {
                    # length_400.json "finetune" semantics, universal_model.py
                    # :135-138 — but the base loads ONCE here, not per forward)
                    "base_pulse": str(_WEIGHTS_DIR / "grape_x400_pulse.csv")},
+    # per-gate finetuned pulse tables (workloads/finetune_gates.py): serves
+    # the polished table for exact named-gate requests, the flagship model
+    # for everything else
+    "length_100_gates": {
+        "config": str(_CONFIG_DIR / "universal_single_qubit.json"),
+        "checkpoint": str(_WEIGHTS_DIR / "length100.npz"),
+        "gate_bundle": str(_WEIGHTS_DIR / "length100_gates.npz")},
 }
 
 
@@ -88,16 +95,34 @@ def load_pipeline(variant: str, checkpoint: Optional[str] = None,
     return Pipeline(model, params, base_pulse=base_pulse)
 
 
+def _gate_bundle_lookup(variant: str, rv: np.ndarray):
+    """If the variant ships per-gate finetuned tables and the request matches
+    a named gate (axis + angle within 1e-5), return its polished table."""
+    spec = MODEL_VARIANTS[variant]
+    path = spec.get("gate_bundle")
+    if not path or not Path(path).exists():
+        return None
+    from ..workloads.finetune_gates import load_gate_bundle
+
+    tables, meta = load_gate_bundle(path)
+    for name, gate_rv in zip(meta["gates"], meta["rotation_vectors"]):
+        if np.allclose(rv[0], np.asarray(gate_rv, np.float32), atol=1e-5):
+            return tables[name]
+    return None
+
+
 def compute_pulses(variant: str, x: float, y: float, z: float, theta: float,
                    checkpoint: Optional[str] = None,
                    random_init: bool = False):
     """Rotation spec → (pulses (L, 2), target quaternion) — reference
     ``compute_pulse_and_unitary`` (app.py:50-72)."""
-    pipe = load_pipeline(variant, checkpoint, random_init)
     n = np.asarray([x, y, z], np.float64)
     n = n / max(np.linalg.norm(n), 1e-12)
     rv = np.asarray([[n[0], n[1], n[2], theta]], np.float32)
-    pulses = np.asarray(pipe(rv)[0])
+    pulses = _gate_bundle_lookup(variant, rv)
+    if pulses is None:
+        pipe = load_pipeline(variant, checkpoint, random_init)
+        pulses = np.asarray(pipe(rv)[0])
     return pulses, rotation_vector_to_quat(rv[0])
 
 
