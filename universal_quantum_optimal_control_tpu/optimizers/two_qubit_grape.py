@@ -60,12 +60,24 @@ class TwoQubitGrapeConfig:
 
 
 def named_two_qubit_targets() -> Dict[str, np.ndarray]:
-    """Built-in targets (complex 4×4)."""
+    """Standard named two-qubit benchmark gates (complex 4×4) — the SU(4)
+    analog of the single-qubit five-gate demo set
+    (visualize/visualize_universal_with_pipeline.py:77-85)."""
     cz = np.diag([1, 1, 1, -1]).astype(np.complex64)
     # sqrt(ZZ) phase gate and iSWAP-class diag for variety
     zz = np.diag(np.exp(-1j * np.pi / 4 * np.array([1, -1, -1, 1]))).astype(
         np.complex64)
-    return {"cz": cz, "zz(pi/4)": zz}
+    cnot = np.array([[1, 0, 0, 0], [0, 1, 0, 0],
+                     [0, 0, 0, 1], [0, 0, 1, 0]], np.complex64)
+    iswap = np.array([[1, 0, 0, 0], [0, 0, 1j, 0],
+                      [0, 1j, 0, 0], [0, 0, 0, 1]], np.complex64)
+    sqrt_swap = np.array(
+        [[1, 0, 0, 0],
+         [0, 0.5 + 0.5j, 0.5 - 0.5j, 0],
+         [0, 0.5 - 0.5j, 0.5 + 0.5j, 0],
+         [0, 0, 0, 1]], np.complex64)
+    return {"cz": cz, "zz(pi/4)": zz, "cnot": cnot, "iswap": iswap,
+            "sqrt_swap": sqrt_swap}
 
 
 def _init_raw(cfg: TwoQubitGrapeConfig, key: jax.Array) -> jax.Array:

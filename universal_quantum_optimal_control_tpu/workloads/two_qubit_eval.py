@@ -1,0 +1,172 @@
+r"""Two-qubit named-gate evaluation — CLI entry point.
+
+Produces the SU(4) analog of the single-qubit five-gate table
+(docs/model_vs_score_length100.md; reference framing
+visualize/visualize_universal_with_pipeline.py:77-87): per-named-gate
+``E[F]`` of the shipped universal two-qubit model at σ_δ ∈ {0, 0.1, 0.2},
+for CZ / CNOT / iSWAP / √SWAP / ZZ(π/4).  Optionally polishes each gate with
+multi-start GRAPE from scratch (``--polish``) so model-vs-single-target
+quality is visible side by side.
+
+Output: a markdown table (stdout + ``--out`` file) and a ``.npz`` of the
+model's per-gate pulse tables.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import su4
+from ..models import normalize_pulse_space
+from ..models.serialization import load_params_npz
+from ..models.two_qubit import TwoQubitQOCTransformer
+from ..optimizers.two_qubit_grape import (
+    TwoQubitGrapeConfig,
+    multistart_grape_su4,
+    named_two_qubit_targets,
+)
+from ..training.systems import SU4System
+
+__all__ = ["main", "eval_pulse_tables", "model_gate_pulses"]
+
+_WEIGHTS = Path(__file__).parent.parent / "demo" / "weights"
+DEFAULT_CKPT = str(_WEIGHTS / "two_qubit_d512.npz")
+
+
+def model_gate_pulses(checkpoint: str, targets_packed: jax.Array,
+                      *, max_pulses: int = 40, d_model: int = 512,
+                      n_layers: int = 8, n_heads: int = 16) -> jax.Array:
+    """Run the universal two-qubit model on packed ``(G, 2, 4, 4)`` targets."""
+    model = TwoQubitQOCTransformer(
+        pulse_space=normalize_pulse_space({"phi": (-3.15, 3.15),
+                                           "tau": (0.1, 0.5)}),
+        max_pulses=max_pulses, d_model=d_model, n_layers=n_layers,
+        n_heads=n_heads, dtype=jnp.float32)
+    params = load_params_npz(
+        checkpoint, model.init(jax.random.PRNGKey(0), targets_packed))
+    return model.apply(params, targets_packed)
+
+
+def eval_pulse_tables(pulses: jax.Array, targets_packed: jax.Array,
+                      sigmas, *, monte_carlo: int = 20_000,
+                      epsilon_std: float = 0.05, seed: int = 7,
+                      system: SU4System | None = None) -> np.ndarray:
+    """Per-gate E[F] at each σ_δ: returns ``(G, len(sigmas))``.
+
+    Common random numbers across σ (same normalized draws scaled per σ) so
+    columns are comparable; σ = 0 is evaluated exactly (no MC noise).
+    """
+    system = system or SU4System()
+    G = pulses.shape[0]
+    key = jax.random.PRNGKey(seed)
+    base = system.sample_errors(key, (G, monte_carlo), 1.0, 1.0)
+
+    @jax.jit
+    def one_sigma(sigma):
+        d1 = base[0] * sigma
+        d2 = base[1] * sigma
+        ep = base[2] * epsilon_std
+        return system.local_mean_fidelity(pulses, targets_packed,
+                                          (d1, d2, ep))
+
+    cols = []
+    for s in sigmas:
+        if s == 0.0:
+            z = jnp.zeros((G, 1))
+            ep = base[2][:, :1] * 0.0
+            Ur, Ui = su4.propagate_su4_mc(pulses, z, z, ep, system.system)
+            F = su4.fidelity_su4_ri(Ur, Ui, targets_packed[:, None, 0],
+                                    targets_packed[:, None, 1])
+            cols.append(np.asarray(F[:, 0]))
+        else:
+            cols.append(np.asarray(one_sigma(s)))
+    return np.stack(cols, axis=1)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Evaluate the universal two-qubit model on named gates")
+    p.add_argument("--checkpoint", default=DEFAULT_CKPT)
+    p.add_argument("--sigmas", default="0,0.1,0.2")
+    p.add_argument("--monte_carlo", type=int, default=20_000)
+    p.add_argument("--epsilon_std", type=float, default=0.05)
+    p.add_argument("--polish", action="store_true",
+                   help="also run per-gate multi-start GRAPE (3-param "
+                        "blocks mode) for the single-target comparison row")
+    p.add_argument("--polish_starts", type=int, default=16)
+    p.add_argument("--polish_steps", type=int, default=2000)
+    p.add_argument("--out", default=None,
+                   help="write the markdown table here as well")
+    p.add_argument("--save_pulses", default=None,
+                   help="write per-gate model pulse tables to this .npz")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    sigmas = [float(s) for s in args.sigmas.split(",")]
+
+    gates = named_two_qubit_targets()
+    names = list(gates)
+    U = np.stack([gates[g] for g in names])            # (G, 4, 4) complex
+    packed = SU4System.pack_target(U)                  # (G, 2, 4, 4)
+
+    pulses = model_gate_pulses(args.checkpoint, packed)
+    table = eval_pulse_tables(pulses, packed, sigmas,
+                              monte_carlo=args.monte_carlo,
+                              epsilon_std=args.epsilon_std)
+
+    rows = {}
+    for i, g in enumerate(names):
+        rows[g] = {"model": [float(v) for v in table[i]]}
+
+    if args.polish:
+        for i, g in enumerate(names):
+            cfg = TwoQubitGrapeConfig(
+                mode="blocks", n_starts=args.polish_starts,
+                steps=args.polish_steps,
+                sigmas=tuple(s for s in sigmas if s > 0))
+            gp, info = multistart_grape_su4(U[i], cfg)
+            tp = eval_pulse_tables(jnp.asarray(gp)[None], packed[i:i + 1],
+                                   sigmas, monte_carlo=args.monte_carlo,
+                                   epsilon_std=args.epsilon_std)
+            rows[g]["grape"] = [float(v) for v in tp[0]]
+            print(f"polished {g}: stages "
+                  f"{[round(s['best_fid'], 4) for s in info['stages']]}")
+
+    header = "| gate | " + " | ".join(
+        f"E[F] σ={s:g}" for s in sigmas) + " |"
+    lines = ["# Two-qubit named-gate evaluation", "",
+             f"Universal model `{Path(args.checkpoint).name}`; "
+             f"M={args.monte_carlo}, ε_std={args.epsilon_std}, CRN across σ.",
+             "", header, "|" + "---|" * (len(sigmas) + 1)]
+    for g in names:
+        lines.append("| " + g + " | " + " | ".join(
+            f"{v:.4f}" for v in rows[g]["model"]) + " |")
+        if "grape" in rows[g]:
+            lines.append("| " + g + " (GRAPE) | " + " | ".join(
+                f"{v:.4f}" for v in rows[g]["grape"]) + " |")
+    text = "\n".join(lines)
+    print(text)
+
+    if args.out:
+        Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.out).write_text(text + "\n")
+    if args.save_pulses:
+        np.savez(args.save_pulses,
+                 meta_json=json.dumps({"gates": names, "sigmas": sigmas,
+                                       "fidelity": {g: rows[g] for g in
+                                                    names}}),
+                 **{f"pulses_{i}": np.asarray(pulses[i])
+                    for i in range(len(names))})
+        print(f"saved {args.save_pulses}")
+
+
+if __name__ == "__main__":
+    main()
