@@ -70,6 +70,26 @@ def test_uneven_mc_rows_tile():
     np.testing.assert_allclose(np.asarray(q_pallas), np.asarray(q_xla), atol=1e-5)
 
 
+def test_odd_row_count_mc_is_padded_to_tile_multiple():
+    """rows = M/128 odd and > 8 (e.g. the finetune CLI's 200k-MC eval →
+    1563 rows) previously shrank the tile to an unlowerable (1, 128) block;
+    `_pad_mc` now rounds rows beyond one native tile up to a multiple of 8
+    and the kernels mask the padding out of the mean exactly."""
+    pulses, delta, eps = make_inputs(B=2, L=5, M=1280, seed=9)  # rows = 10
+    q_t = su2.quat_normalize(jax.random.normal(jax.random.PRNGKey(5), (2, 4)))
+
+    f_pallas = pk.mean_fidelity_pallas(pulses, q_t, delta, eps)
+    q_xla = xla_prop.propagate_mc(pulses, delta, eps)
+    f_xla = jnp.mean(su2.quat_fidelity(q_xla, q_t[:, None, :]), axis=1)
+    np.testing.assert_allclose(np.asarray(f_pallas), np.asarray(f_xla),
+                               atol=1e-5)
+
+    q_pallas = pk.propagate_mc_pallas(pulses, delta, eps)
+    assert q_pallas.shape == (2, 1280, 4)
+    np.testing.assert_allclose(np.asarray(q_pallas), np.asarray(q_xla),
+                               atol=1e-5)
+
+
 def test_unaligned_mc_is_padded_exactly():
     """M not a multiple of 128 (e.g. the workload CLIs' --monte_carlo 1000
     default) is zero-padded inside the wrappers and sliced/masked back out —
@@ -126,8 +146,12 @@ def test_pallas_bwd_kernel_matches_xla_vjp():
     dp_x, dd_x, de_x = vjp(g)
     np.testing.assert_allclose(np.asarray(dp_p), np.asarray(dp_x),
                                rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(dd_p), np.asarray(dd_x), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(de_p), np.asarray(de_x), atol=1e-5)
+    # atol covers near-zero entries; rtol covers O(1)+ entries where f32
+    # accumulation noise vs libm exceeds a pure 1e-5 absolute budget
+    np.testing.assert_allclose(np.asarray(dd_p), np.asarray(dd_x),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(de_p), np.asarray(de_x),
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_mean_fidelity_pallas_full_gradient_chain():

@@ -62,22 +62,52 @@ _PI_HI = 3.140625            # Cody–Waite split of pi (exact in f32)
 _PI_LO = 9.67653589793e-4
 
 
-def _sincos_poly(x):
-    """Fused sin+cos: one-step Cody–Waite reduction to |r| ≤ π/2 + shared-x²
-    Taylor (sin deg 11, cos deg 10) — ~19 VPU ops for BOTH values vs two
-    full-range libm transcendentals.  Max abs error < 1e-6 on all of ℝ
-    reachable here (|x| ≲ 10³; the segment angle is |τ·½(1+ε)√(1+δ²)|).
-    """
+# Minimax (equioscillating least-squares on Chebyshev nodes) coefficients on
+# [-π/2, π/2], leading terms pinned to 1·r / 1: sin deg 9 (max err 4.9e-9),
+# cos deg 8 (5.5e-8) — both below the f32 rounding floor of the evaluation
+# (~2e-7), one r² term shorter than the round-2 Taylor deg-11/10 pair.
+_S1, _S2, _S3, _S4 = (-1.66666567e-01, 8.33301032e-03,
+                      -1.98062014e-04, 2.59927677e-06)
+_C1, _C2, _C3, _C4 = (-4.99999303e-01, 4.16639475e-02,
+                      -1.38556582e-03, 2.31890375e-05)
+
+
+def _sincos_core(x):
+    """Cody–Waite reduction + shared-r² minimax polys.  Returns
+    (sin r, cos r, k): the true values are ``(-1)^k · (sin r, cos r)``."""
     k = jnp.round(x * _INV_PI)
     r = (x - k * _PI_HI) - k * _PI_LO          # r ∈ [-π/2, π/2]
+    r2 = r * r
+    s = r * (1.0 + r2 * (_S1 + r2 * (_S2 + r2 * (_S3 + r2 * _S4))))
+    c = 1.0 + r2 * (_C1 + r2 * (_C2 + r2 * (_C3 + r2 * _C4)))
+    return s, c, k
+
+
+def _sincos_poly(x):
+    """Fused sin+cos: one-step Cody–Waite reduction to |r| ≤ π/2 + shared-x²
+    minimax polys (sin deg 9, cos deg 8) — ~17 VPU ops for BOTH values vs
+    two full-range libm transcendentals.  Max abs error < 1e-6 on all of ℝ
+    reachable here (|x| ≲ 10³; the segment angle is |τ·½(1+ε)√(1+δ²)|).
+    """
+    s, c, k = _sincos_core(x)
     # parity: sin/cos(x) = (-1)^k · sin/cos(r)
     sign = 1.0 - 2.0 * (k - 2.0 * jnp.floor(k * 0.5))
-    r2 = r * r
-    s = r * (1.0 + r2 * (-1.0 / 6.0 + r2 * (1.0 / 120.0 + r2 * (
-        -1.0 / 5040.0 + r2 * (1.0 / 362880.0 + r2 * (-1.0 / 39916800.0))))))
-    c = 1.0 + r2 * (-0.5 + r2 * (1.0 / 24.0 + r2 * (-1.0 / 720.0 + r2 * (
-        1.0 / 40320.0 + r2 * (-1.0 / 3628800.0)))))
     return s * sign, c * sign
+
+
+def _sincos_poly_ns(x):
+    """Sign-free half-angle sincos for the FIDELITY/VJP kernels only.
+
+    Returns ``±(sin x, cos x)`` with a consistent but unresolved parity
+    sign: the segment quaternion built from it is ``±q_k``, so the final
+    product is ``±(Π q_k)`` — and entanglement fidelity
+    ``F = (4⟨q, q_t⟩² + 2)/6`` is EVEN in the quaternion sign, so F and
+    (since the dropped sign is locally constant in the parameters) all its
+    derivatives are exact.  Saves the ~6 parity ops per segment.  NOT valid
+    for :func:`propagate_mc_pallas` (quaternions leave the kernel) or for
+    the drive-phase φ (an axis flip is not a global quaternion sign)."""
+    s, c, _ = _sincos_core(x)
+    return s, c
 
 
 def _segment_loop(pulse_refs, b, delta, eps, L, sincos="native"):
@@ -123,7 +153,10 @@ def _segment_loop(pulse_refs, b, delta, eps, L, sincos="native"):
         else:
             om = 1.0
             half = tau * scale
-        if sincos == "poly":
+        if sincos == "poly_ns":      # fidelity/VJP path: sign-free (F even)
+            sh, w = _sincos_poly_ns(half)
+            s = sh * inv_anorm
+        elif sincos == "poly":
             sh, w = _sincos_poly(half)
             s = sh * inv_anorm
         else:
@@ -186,9 +219,18 @@ def _fid_kernel(*refs, L, M_valid, tr, sincos):
 def _pad_mc(*arrays):
     """Pad the trailing MC axis of each ``(B, M)``/``(B, M, k)`` array with
     zeros up to the next multiple of ``LANES``.  Returns the padded arrays and
-    the original M (zero disorder is numerically safe: ‖axis‖ = 1)."""
+    the original M (zero disorder is numerically safe: ‖axis‖ = 1).
+
+    When the padded row count exceeds one native (8, 128) tile, it is
+    further rounded to a multiple of 8 rows: Mosaic requires the
+    second-minor block dimension to be a multiple of 8 or equal to the
+    array dimension, so an odd row count (e.g. M=200k → 1563 rows) would
+    otherwise force an unlowerable (…, 1, 128) block.  Padded samples are
+    masked out of every kernel mean via ``M_valid``."""
     M = arrays[0].shape[1]
     Mp = -(-M // LANES) * LANES
+    if Mp // LANES > 8:
+        Mp = -(-Mp // (8 * LANES)) * (8 * LANES)
     if Mp == M:
         return arrays + (M,)
     out = []
@@ -296,6 +338,10 @@ def _mean_fid_raw(pulses, q_target, delta, eps, tile_rows=_DEF_ROWS,
                   sincos=None):
     B, L, _ = pulses.shape
     sincos = sincos if sincos is not None else DEFAULT_SINCOS
+    if sincos == "poly":
+        # fidelity is even in the quaternion sign → the parity ops of the
+        # half-angle sincos can be dropped (see _sincos_poly_ns)
+        sincos = "poly_ns"
     cols = _pulse_columns(pulses)
     delta, eps, M_orig = _pad_mc(delta, eps)
     M = delta.shape[1]
@@ -361,12 +407,19 @@ def _mf_bwd(res, g):
     from .propagate_pallas_bwd import propagate_mc_vjp_pallas
     pulses, q_target, delta, eps = res
     M = delta.shape[1]
-    q = _propagate_mc_pallas_raw(pulses, delta, eps)        # (B, M, 4)
+    # Sign-free half-angle sincos throughout: q here is ±q_true per sample,
+    # but inner (hence the seed g_q) flips with it and the VJP kernel below
+    # rebuilds its prefix products from the SAME ±q parametrization, so
+    # every parity sign cancels in the returned cotangents (d_qt is a
+    # (scale·q) product — also invariant).
+    ns = "poly_ns" if DEFAULT_SINCOS == "poly" else DEFAULT_SINCOS
+    q = _propagate_mc_pallas_raw(pulses, delta, eps, sincos=ns)  # (B, M, 4)
     inner = jnp.sum(q * q_target[:, None, :], axis=-1)      # ⟨q, qt⟩
     # F_b = mean_m (4·inner² + 2)/6  ⇒  dF_b/dq = (8/6)·inner·qt / M
     scale = (8.0 / 6.0) * inner * g[:, None] / M            # (B, M)
     g_q = scale[..., None] * q_target[:, None, :]
-    d_pulses, d_delta, d_eps = propagate_mc_vjp_pallas(pulses, delta, eps, g_q)
+    d_pulses, d_delta, d_eps = propagate_mc_vjp_pallas(pulses, delta, eps,
+                                                       g_q, sincos=ns)
     d_qt = jnp.sum(scale[..., None] * q, axis=1)            # (B, 4)
     return d_pulses, d_qt, d_delta, d_eps
 

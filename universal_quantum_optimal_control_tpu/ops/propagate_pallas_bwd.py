@@ -34,12 +34,19 @@ from .propagate_pallas import (
     _mc_grid,
     _pad_mc,
     _sincos_poly,
+    _sincos_poly_ns,
 )
 
 
 def _sincos(x, sincos):
     if sincos == "poly":
         return _sincos_poly(x)
+    if sincos == "poly_ns":
+        # sign-free HALF-ANGLE variant: valid only when the whole
+        # fwd-value + bwd chain uses it consistently (the fidelity seed is
+        # recomputed from the same ±q parametrization, so every parity
+        # sign cancels — see _sincos_poly_ns)
+        return _sincos_poly_ns(x)
     return jnp.sin(x), jnp.cos(x)
 
 __all__ = ["propagate_mc_vjp_pallas"]
@@ -104,7 +111,10 @@ def _bwd_kernel(*refs, L, amp, sincos="native"):
         """Segment quaternion + the intermediates the chain rule reuses."""
         phi = phi_ref[b, k]
         tau = tau_ref[b, k]
-        sphi, cphi = _sincos(phi, sincos)
+        # φ keeps its parity sign: an axis flip is NOT a global
+        # quaternion sign (only the half-angle may go sign-free)
+        sphi, cphi = _sincos(phi, "poly" if sincos == "poly_ns"
+                             else sincos)
         if amp:
             om_raw = om_ref[b, k]
             om = jnp.maximum(om_raw, 0.0)

@@ -182,8 +182,11 @@ def main(argv=None) -> None:
         "steps": args.steps,
     }
     arrays = {f"pulses_{i}": np.asarray(pulses[i]) for i in range(len(names))}
-    np.savez(args.out, meta_json=json.dumps(meta), **arrays)
-    print(f"saved {args.out}")
+    from pathlib import Path
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(out, meta_json=json.dumps(meta), **arrays)
+    print(f"saved {out}")
 
 
 if __name__ == "__main__":
