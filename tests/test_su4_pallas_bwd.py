@@ -11,6 +11,7 @@ see BENCHMARKS.md / the workload smoke below).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from universal_quantum_optimal_control_tpu.ops import (
     propagate_su4_pallas_bwd as bwd,
@@ -120,3 +121,57 @@ def test_build_A_param_chain_matches_autodiff():
         scale = max(float(jnp.abs(auto).max()), 1e-6)
         np.testing.assert_allclose(np.asarray(manual), np.asarray(auto),
                                    atol=1e-4 * scale, err_msg=name)
+
+
+@pytest.mark.slow
+def test_full_vjp_kernel_interpret_matches_xla_autodiff():
+    """End-to-end fused VJP kernel (L/R sweep, SMEM accumulation, M=200
+    padding mask) vs jax.grad through the XLA SoA objective — interpret mode.
+
+    Guards the kernel ASSEMBLY (the pure-jnp helper tests above cover only
+    the math).  On CPU the kernels self-select ``interpret=True``
+    (``_interpret()``) — the lightweight pallas interpreter, NOT
+    ``force_tpu_interpret_mode`` (whose Mosaic-semantics simulation takes
+    >40 min on this kernel); still minutes-slow, hence the slow marker."""
+    from universal_quantum_optimal_control_tpu.core import su4
+    from universal_quantum_optimal_control_tpu.training.systems import (
+        SU4System,
+    )
+
+    rng = np.random.default_rng(21)
+    B, L, M = 2, 3, 200  # M=200 exercises the lane-padding mask
+    pulses = jnp.asarray(np.stack(
+        [rng.uniform(-np.pi, np.pi, (B, L)),
+         rng.uniform(0.1, 1.2, (B, L)),
+         rng.uniform(0.1, 0.4, (B, L))], axis=-1).astype(np.float32))
+    d1 = jnp.asarray(rng.normal(0, 0.3, (B, M)).astype(np.float32))
+    d2 = jnp.asarray(rng.normal(0, 0.3, (B, M)).astype(np.float32))
+    ep = jnp.asarray(rng.normal(0, 0.05, (B, M)).astype(np.float32))
+
+    sys_ = su4.TwoQubitSystem()
+    # random SU(4)-ish targets from a zero-disorder propagation
+    Ur, Ui = su4.propagate_su4(
+        jnp.asarray(np.stack(
+            [rng.uniform(-np.pi, np.pi, (B, 4)),
+             rng.uniform(0.3, 1.0, (B, 4)),
+             rng.uniform(0.1, 0.4, (B, 4))], axis=-1).astype(np.float32)),
+        jnp.zeros(B), jnp.zeros(B), jnp.zeros(B), sys_)
+    t_r, t_i = Ur, Ui
+
+    def obj_pallas(p, a, b, e):
+        return jnp.mean(bwd.mean_fidelity_su4_trainable(
+            p, t_r, t_i, a, b, e, sys_.xtalk, sys_.coupling,
+            sys_.expm_scaling))
+
+    def obj_xla(p, a, b, e):
+        Vr, Vi = su4.propagate_su4_mc(p, a, b, e, sys_)
+        F = su4.fidelity_su4_ri(Vr, Vi, t_r[:, None], t_i[:, None])
+        return jnp.mean(jnp.mean(F, axis=1))
+
+    v_p, g_p = jax.value_and_grad(obj_pallas, argnums=(0, 1, 2, 3))(
+        pulses, d1, d2, ep)
+    v_x, g_x = jax.value_and_grad(obj_xla, argnums=(0, 1, 2, 3))(
+        pulses, d1, d2, ep)
+    np.testing.assert_allclose(float(v_p), float(v_x), atol=1e-6)
+    for a, b in zip(g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -40,7 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core import su4
 
-__all__ = ["propagate_su4_mc_pallas", "mean_fidelity_su4_pallas"]
+__all__ = ["propagate_su4_mc_pallas", "mean_fidelity_su4_pallas",
+           "mean_fidelity_su4_pallas_with_product"]
 
 LANES = 128
 _DEF_ROWS = 8  # ~250 live (rows, 128) f32 registers/tile → 1 MB VMEM at 8
@@ -231,9 +232,54 @@ def _fid_kernel(phi_ref, om_ref, tau_ref, tr_ref, ti_ref, d1_ref, d2_ref,
     sum_ref[b, 0] += jnp.sum(F)
 
 
+def _fid_prod_kernel(phi_ref, om_ref, tau_ref, tr_ref, ti_ref, d1_ref,
+                     d2_ref, eps_ref, sum_ref, prod_ref, *, L, xtalk,
+                     coupling, scaling, M_valid, tile_rows):
+    """`_fid_kernel` that ALSO writes the per-sample product U to HBM.
+
+    The product is the forward's own final carry — emitting it costs only
+    the (B·M·32·4 B) store, and lets the fused VJP kernel skip its 9·L-matmul
+    forward-product rebuild (see ``propagate_su4_pallas_bwd``)."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    ur, ui = _propagate_loop(phi_ref, om_ref, tau_ref, b, d1_ref[0],
+                             d2_ref[0], eps_ref[0], L, xtalk=xtalk,
+                             coupling=coupling, scaling=scaling)
+    for r in range(4):
+        for c in range(4):
+            prod_ref[0, 4 * r + c] = ur[r][c]
+            prod_ref[0, 16 + 4 * r + c] = ui[r][c]
+    re = jnp.zeros_like(d1_ref[0])
+    im = jnp.zeros_like(d1_ref[0])
+    for r in range(4):
+        for c in range(4):
+            tr = tr_ref[b, 4 * r + c]
+            ti = ti_ref[b, 4 * r + c]
+            re += ur[r][c] * tr + ui[r][c] * ti
+            im += ur[r][c] * ti - ui[r][c] * tr
+    F = (re * re + im * im + 4.0) / 20.0
+
+    if M_valid is not None:
+        row = jax.lax.broadcasted_iota(jnp.int32, F.shape, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, F.shape, 1)
+        idx = (j * tile_rows + row) * LANES + lane
+        F = jnp.where(idx < M_valid, F, 0.0)
+
+    @pl.when(j == 0)
+    def _():
+        sum_ref[b, 0] = 0.0
+
+    sum_ref[b, 0] += jnp.sum(F)
+
+
 def _pad_mc(*arrays):
+    # Rows beyond one native tile are rounded to a multiple of 8: Mosaic
+    # needs the second-minor block dim to divide by 8 or equal the array
+    # dim (see the SU(2) twin in propagate_pallas.py for the full note).
     M = arrays[0].shape[1]
     Mp = -(-M // LANES) * LANES
+    if Mp // LANES > 8:
+        Mp = -(-Mp // (8 * LANES)) * (8 * LANES)
     if Mp == M:
         return arrays + (M,)
     out = [jnp.pad(a, [(0, 0), (0, Mp - M)]) for a in arrays]
@@ -349,3 +395,64 @@ def mean_fidelity_su4_pallas(pulses, target_re, target_im, delta1, delta2,
         interpret=_interpret(),
     )(phi, om, tau, t_r, t_i, d1, d2, ep)
     return sums[:, 0] / M_orig
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("xtalk", "coupling", "scaling",
+                                    "tile_rows"))
+def mean_fidelity_su4_pallas_with_product(pulses, target_re, target_im,
+                                          delta1, delta2, epsilon, *,
+                                          xtalk=0.1, coupling=0.5, scaling=4,
+                                          tile_rows=_DEF_ROWS):
+    """Fused objective that ALSO returns the per-sample product.
+
+    Same contract as :func:`mean_fidelity_su4_pallas` plus a second output:
+    the final product ``U`` per MC sample in the kernel-native padded SoA
+    layout ``(B, 32, rows, LANES)`` (``[16 × re][16 × im]``, MC axis padded
+    to a lane multiple).  The product is the forward's own final carry, so
+    emitting it costs only the HBM store — and it is exactly the residual
+    the product-seeded VJP kernel (``su4_objective_vjp_from_product``)
+    needs to skip its 9·L-matmul forward-chain rebuild.
+    """
+    B, L, _ = pulses.shape
+    phi, om, tau = _split_pulses(pulses)
+    delta1, delta2, epsilon, M_orig = _pad_mc(delta1, delta2, epsilon)
+    M = delta1.shape[1]
+    rows, tr, ntiles = _mc_grid(M, tile_rows)
+    d1 = delta1.reshape(B, rows, LANES)
+    d2 = delta2.reshape(B, rows, LANES)
+    ep = epsilon.reshape(B, rows, LANES)
+    t_r = target_re.reshape(B, 16)
+    t_i = target_im.reshape(B, 16)
+
+    smem_bl = lambda: pl.BlockSpec((B, L), lambda b, j: (0, 0),
+                                   memory_space=pltpu.SMEM)
+    smem_bt = lambda: pl.BlockSpec((B, 16), lambda b, j: (0, 0),
+                                   memory_space=pltpu.SMEM)
+    vmem = lambda: pl.BlockSpec((1, tr, LANES), lambda b, j: (b, j, 0),
+                                memory_space=pltpu.VMEM)
+    sums, prod = pl.pallas_call(
+        functools.partial(_fid_prod_kernel, L=L, xtalk=xtalk,
+                          coupling=coupling, scaling=scaling,
+                          M_valid=(M_orig if M_orig != M else None),
+                          tile_rows=tr),
+        grid=(B, ntiles),
+        in_specs=[smem_bl(), smem_bl(), smem_bl(), smem_bt(), smem_bt(),
+                  vmem(), vmem(), vmem()],
+        out_specs=(
+            pl.BlockSpec((B, 1), lambda b, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 32, tr, LANES), lambda b, j: (b, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 32, rows, LANES), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=B * M * (L * 4700 + 70), transcendentals=B * L * 2,
+            bytes_accessed=B * (L * 12 + M * 12 + M * 128 + 132),
+        ),
+        interpret=_interpret(),
+    )(phi, om, tau, t_r, t_i, d1, d2, ep)
+    return sums[:, 0] / M_orig, prod

@@ -50,9 +50,11 @@ from .propagate_su4_pallas import (
     _pad_mc,
     _split_pulses,
     mean_fidelity_su4_pallas,
+    mean_fidelity_su4_pallas_with_product,
 )
 
-__all__ = ["su4_objective_vjp_pallas", "mean_fidelity_su4_trainable"]
+__all__ = ["su4_objective_vjp_pallas", "su4_objective_vjp_from_product",
+           "mean_fidelity_su4_trainable"]
 
 _C = [1.0 / math.factorial(k) for k in range(9)]
 
@@ -182,6 +184,68 @@ def _unflatten2(flat, off=0):
     return ur, ui
 
 
+def _param_grads_from_D(Dr, Di, Kr, Ki, scal, eps, zero, *, xtalk, scaling):
+    """Chain the expm cotangent ``D = dL/dA`` through the sparse Hamiltonian
+    build to the six leaf parameters (φ, Ω, τ, δ₁, δ₂, ε) of one segment."""
+    c, s, amp, relu_om, t = scal
+    # dτ: A = t·K ⇒ dt = Σ (Dr·Kr + Di·Ki); τ = t·2^s ⇒ dτ = dt/2^s
+    dt = zero
+    for r in range(4):
+        for cc in range(4):
+            dt += Dr[r][cc] * Kr[r][cc] + Di[r][cc] * Ki[r][cc]
+    dtau_s = dt / (2.0 ** scaling)
+
+    # dK = t·D.  Diagonal: K_ii = −i·diag_i ⇒ ddiag_i = −t·Di[i][i]
+    ddg = [-t * Di[i][i] for i in range(4)]
+    dd1_s = 0.5 * (ddg[0] + ddg[1] - ddg[2] - ddg[3])
+    dd2_s = 0.5 * (ddg[0] - ddg[1] + ddg[2] - ddg[3])
+    # couplings: Kr = sgn·h_i, Ki = −h_r per entry
+    dh1r = dh1i = dh2r = dh2i = zero
+    for r, cc, which, sgn in _COUPLINGS:
+        dhr = -t * Di[r][cc]
+        dhi = sgn * t * Dr[r][cc]
+        if which == "g1":
+            dh1r = dh1r + dhr
+            dh1i = dh1i + dhi
+        else:
+            dh2r = dh2r + dhr
+            dh2i = dh2i + dhi
+    # (g1r, g1i) = amp·(c, −s);  g2 = χ·g1
+    Pc = dh1r + xtalk * dh2r       # cotangent of amp·c
+    Ps = dh1i + xtalk * dh2i       # cotangent of −amp·s
+    damp = c * Pc - s * Ps
+    dphi_s = amp * (-s * Pc - c * Ps)
+    deps_s = 0.5 * relu_om * damp
+    dom_s = 0.5 * (1.0 + eps) * jnp.where(relu_om > 0.0, damp, 0.0)
+    return dphi_s, dom_s, dtau_s, dd1_s, dd2_s, deps_s
+
+
+def _fid_cotangent(Pr, Pi, tr_ref, ti_ref, gbar_ref, b, j, shape_like, *,
+                   M_valid, inv_M, tile_rows):
+    """Output cotangent G = gbar/M · dF/dU from the final product P.
+
+    F = (re² + im² + 4)/20, re + i·im = Tr(U^H T); padded samples masked."""
+    re = jnp.zeros_like(shape_like)
+    im = jnp.zeros_like(shape_like)
+    T_r = [[tr_ref[b, 4 * r + c] for c in range(4)] for r in range(4)]
+    T_i = [[ti_ref[b, 4 * r + c] for c in range(4)] for r in range(4)]
+    for r in range(4):
+        for c in range(4):
+            re += Pr[r][c] * T_r[r][c] + Pi[r][c] * T_i[r][c]
+            im += Pr[r][c] * T_i[r][c] - Pi[r][c] * T_r[r][c]
+    gF = gbar_ref[b, 0] * inv_M * (2.0 / 20.0)
+    if M_valid is not None:
+        row = jax.lax.broadcasted_iota(jnp.int32, re.shape, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, re.shape, 1)
+        idx = (j * tile_rows + row) * LANES + lane
+        gF = jnp.where(idx < M_valid, gF, 0.0)
+    Gr = [[gF * (re * T_r[r][c] + im * T_i[r][c]) for c in range(4)]
+          for r in range(4)]
+    Gi = [[gF * (re * T_i[r][c] - im * T_r[r][c]) for c in range(4)]
+          for r in range(4)]
+    return Gr, Gi
+
+
 def _bwd_kernel(phi_ref, om_ref, tau_ref, tr_ref, ti_ref, gbar_ref,
                 d1_ref, d2_ref, eps_ref,
                 dphi_ref, dom_ref, dtau_ref, dd1_ref, dd2_ref, deps_ref,
@@ -219,25 +283,9 @@ def _bwd_kernel(phi_ref, om_ref, tau_ref, tr_ref, ti_ref, gbar_ref,
     Pr, Pi = _unflatten2(P)
 
     # ---- output cotangent G from the fidelity ----------------------------
-    # F = (re² + im² + 4)/20, re + i·im = Tr(U^H T); dL/dU = gbar/M · dF/dU
-    re = jnp.zeros_like(d1)
-    im = jnp.zeros_like(d1)
-    T_r = [[tr_ref[b, 4 * r + c] for c in range(4)] for r in range(4)]
-    T_i = [[ti_ref[b, 4 * r + c] for c in range(4)] for r in range(4)]
-    for r in range(4):
-        for c in range(4):
-            re += Pr[r][c] * T_r[r][c] + Pi[r][c] * T_i[r][c]
-            im += Pr[r][c] * T_i[r][c] - Pi[r][c] * T_r[r][c]
-    gF = gbar_ref[b, 0] * inv_M * (2.0 / 20.0)
-    if M_valid is not None:
-        row = jax.lax.broadcasted_iota(jnp.int32, re.shape, 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, re.shape, 1)
-        idx = (j * tile_rows + row) * LANES + lane
-        gF = jnp.where(idx < M_valid, gF, 0.0)
-    Gr = [[gF * (re * T_r[r][c] + im * T_i[r][c]) for c in range(4)]
-          for r in range(4)]
-    Gi = [[gF * (re * T_i[r][c] - im * T_r[r][c]) for c in range(4)]
-          for r in range(4)]
+    Gr, Gi = _fid_cotangent(Pr, Pi, tr_ref, ti_ref, gbar_ref, b, j, d1,
+                            M_valid=M_valid, inv_M=inv_M,
+                            tile_rows=tile_rows)
 
     # ---- backward sweep ---------------------------------------------------
     zero = jnp.zeros_like(d1)
@@ -248,7 +296,7 @@ def _bwd_kernel(phi_ref, om_ref, tau_ref, tr_ref, ti_ref, gbar_ref,
         Lhr, Lhi = _unflatten2(carry, 32)
         dd1, dd2, de = carry[64], carry[65], carry[66]
 
-        Ar, Ai, Kr, Ki, (c, s, amp, relu_om, t) = seg_U(k)
+        Ar, Ai, Kr, Ki, scal = seg_U(k)
         (Ukr, Uki), residuals = _expm_chain(Ar, Ai, scaling)
         Uhr, Uhi = _conjT(Ukr, Uki)
         # R = U_k^H P ;  P_{k-1} = R
@@ -260,35 +308,8 @@ def _bwd_kernel(phi_ref, om_ref, tau_ref, tr_ref, ti_ref, gbar_ref,
         # VJP through the exponential
         Dr, Di = _expm_vjp(Cr, Ci, Ar, Ai, residuals)
 
-        # dτ: A = t·K ⇒ dt = Σ (Dr·Kr + Di·Ki); τ = t·2^s ⇒ dτ = dt/2^s
-        dt = zero
-        for r in range(4):
-            for cc in range(4):
-                dt += Dr[r][cc] * Kr[r][cc] + Di[r][cc] * Ki[r][cc]
-        dtau_s = dt / (2.0 ** scaling)
-
-        # dK = t·D.  Diagonal: K_ii = −i·diag_i ⇒ ddiag_i = −t·Di[i][i]
-        ddg = [-t * Di[i][i] for i in range(4)]
-        dd1_s = 0.5 * (ddg[0] + ddg[1] - ddg[2] - ddg[3])
-        dd2_s = 0.5 * (ddg[0] - ddg[1] + ddg[2] - ddg[3])
-        # couplings: Kr = sgn·h_i, Ki = −h_r per entry
-        dh1r = dh1i = dh2r = dh2i = zero
-        for r, cc, which, sgn in _COUPLINGS:
-            dhr = -t * Di[r][cc]
-            dhi = sgn * t * Dr[r][cc]
-            if which == "g1":
-                dh1r = dh1r + dhr
-                dh1i = dh1i + dhi
-            else:
-                dh2r = dh2r + dhr
-                dh2i = dh2i + dhi
-        # (g1r, g1i) = amp·(c, −s);  g2 = χ·g1
-        Pc = dh1r + xtalk * dh2r       # cotangent of amp·c
-        Ps = dh1i + xtalk * dh2i       # cotangent of −amp·s
-        damp = c * Pc - s * Ps
-        dphi_s = amp * (-s * Pc - c * Ps)
-        deps_s = 0.5 * relu_om * damp
-        dom_s = 0.5 * (1.0 + eps) * jnp.where(relu_om > 0.0, damp, 0.0)
+        dphi_s, dom_s, dtau_s, dd1_s, dd2_s, deps_s = _param_grads_from_D(
+            Dr, Di, Kr, Ki, scal, eps, zero, xtalk=xtalk, scaling=scaling)
 
         dphi_ref[b, k] += jnp.sum(dphi_s)
         dom_ref[b, k] += jnp.sum(dom_s)
@@ -304,6 +325,157 @@ def _bwd_kernel(phi_ref, om_ref, tau_ref, tr_ref, ti_ref, gbar_ref,
     dd1_ref[0] = carry[64]
     dd2_ref[0] = carry[65]
     deps_ref[0] = carry[66]
+
+
+def _bwd_prod_kernel(phi_ref, om_ref, tau_ref, tr_ref, ti_ref, gbar_ref,
+                     d1_ref, d2_ref, eps_ref, prod_ref,
+                     dphi_ref, dom_ref, dtau_ref, dd1_ref, dd2_ref,
+                     deps_ref, *, L, xtalk, coupling, scaling, M_valid,
+                     inv_M, tile_rows):
+    """Product-seeded VJP sweep — no forward-chain rebuild.
+
+    The forward objective kernel saved the per-sample product ``P`` to HBM
+    (:func:`..propagate_su4_pallas.mean_fidelity_su4_pallas_with_product`),
+    so the L-iteration forward rebuild of the plain ``_bwd_kernel`` is
+    unnecessary.  The per-segment cotangent ``Ĝ_k = L_k^H G R_k^H`` follows
+    the 2-matmul recurrence
+
+        V_L = G·P^H,   Ĝ_k = V_{k+1}·U_k,   V_k = U_k^H·Ĝ_k
+
+    (from ``L_{k-1}^H = U_k^H L_k^H`` and ``R_{k-1}^H = R_k^H U_{k-1}``),
+    replacing the 4 product-maintenance matmuls AND the ~10·L-matmul rebuild:
+    ~27 vs ~39 SoA matmuls per segment, and a 35- vs 67-register carry.
+    """
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    d1 = d1_ref[0]
+    d2 = d2_ref[0]
+    eps = eps_ref[0]
+
+    @pl.when(j == 0)
+    def _():
+        def zero_k(k, _):
+            dphi_ref[b, k] = 0.0
+            dom_ref[b, k] = 0.0
+            dtau_ref[b, k] = 0.0
+            return 0
+        jax.lax.fori_loop(0, L, zero_k, 0)
+
+    Pr = [[prod_ref[0, 4 * r + c] for c in range(4)] for r in range(4)]
+    Pi = [[prod_ref[0, 16 + 4 * r + c] for c in range(4)] for r in range(4)]
+    Gr, Gi = _fid_cotangent(Pr, Pi, tr_ref, ti_ref, gbar_ref, b, j, d1,
+                            M_valid=M_valid, inv_M=inv_M,
+                            tile_rows=tile_rows)
+    # recurrence seed: V_L = G·P^H (Ĝ for the top segment is V_L·U_L)
+    Phr, Phi = _conjT(Pr, Pi)
+    Vr, Vi = _matmul_soa(Gr, Gi, Phr, Phi)
+    zero = jnp.zeros_like(d1)
+
+    def bwd_body(i, carry):
+        k = L - 1 - i
+        Vr, Vi = _unflatten2(carry, 0)
+        dd1, dd2, de = carry[32], carry[33], carry[34]
+
+        Ar, Ai, Kr, Ki, scal = _build_A(
+            phi_ref[b, k], om_ref[b, k], tau_ref[b, k], d1, d2, eps,
+            xtalk=xtalk, coupling=coupling, scaling=scaling)
+        (Ukr, Uki), residuals = _expm_chain(Ar, Ai, scaling)
+        # Ĝ_k = V_{k+1}·U_k
+        Cr, Ci = _matmul_soa(Vr, Vi, Ukr, Uki)
+        Dr, Di = _expm_vjp(Cr, Ci, Ar, Ai, residuals)
+
+        dphi_s, dom_s, dtau_s, dd1_s, dd2_s, deps_s = _param_grads_from_D(
+            Dr, Di, Kr, Ki, scal, eps, zero, xtalk=xtalk, scaling=scaling)
+
+        dphi_ref[b, k] += jnp.sum(dphi_s)
+        dom_ref[b, k] += jnp.sum(dom_s)
+        dtau_ref[b, k] += jnp.sum(dtau_s)
+
+        # V_k = U_k^H·Ĝ_k
+        Uhr, Uhi = _conjT(Ukr, Uki)
+        Vr2, Vi2 = _matmul_soa(Uhr, Uhi, Cr, Ci)
+        return (_flatten2(Vr2, Vi2)
+                + (dd1 + dd1_s, dd2 + dd2_s, de + deps_s))
+
+    carry = _flatten2(Vr, Vi) + (zero, zero, zero)
+    carry = jax.lax.fori_loop(0, L, bwd_body, carry)
+    dd1_ref[0] = carry[32]
+    dd2_ref[0] = carry[33]
+    deps_ref[0] = carry[34]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("xtalk", "coupling", "scaling",
+                                    "tile_rows"))
+def su4_objective_vjp_from_product(pulses, target_re, target_im, delta1,
+                                   delta2, epsilon, gbar, prod, *, xtalk=0.1,
+                                   coupling=0.5, scaling=4,
+                                   tile_rows=_DEF_ROWS):
+    """VJP of the fused two-qubit objective, seeded with the saved product.
+
+    ``prod`` is the second output of
+    :func:`..propagate_su4_pallas.mean_fidelity_su4_pallas_with_product`
+    (padded SoA layout ``(B, 32, rows, LANES)``).  Returns the same tuple as
+    :func:`su4_objective_vjp_pallas` but skips the forward-chain rebuild.
+    """
+    B, L, Pn = pulses.shape
+    phi, om, tau = _split_pulses(pulses)
+    delta1, delta2, epsilon, M_orig = _pad_mc(delta1, delta2, epsilon)
+    M = delta1.shape[1]
+    rows, tr, ntiles = _mc_grid(M, tile_rows)
+    if prod.shape != (B, 32, rows, LANES):
+        raise ValueError(
+            f"prod shape {prod.shape} != expected {(B, 32, rows, LANES)}; "
+            f"pass the product emitted by "
+            f"mean_fidelity_su4_pallas_with_product on the SAME disorder")
+    d1 = delta1.reshape(B, rows, LANES)
+    d2 = delta2.reshape(B, rows, LANES)
+    ep = epsilon.reshape(B, rows, LANES)
+    t_r = target_re.reshape(B, 16)
+    t_i = target_im.reshape(B, 16)
+    gb = gbar.reshape(B, 1)
+
+    smem_bl = lambda: pl.BlockSpec((B, L), lambda b, j: (0, 0),
+                                   memory_space=pltpu.SMEM)
+    smem_bt = lambda: pl.BlockSpec((B, 16), lambda b, j: (0, 0),
+                                   memory_space=pltpu.SMEM)
+    smem_b1 = lambda: pl.BlockSpec((B, 1), lambda b, j: (0, 0),
+                                   memory_space=pltpu.SMEM)
+    vmem = lambda: pl.BlockSpec((1, tr, LANES), lambda b, j: (b, j, 0),
+                                memory_space=pltpu.VMEM)
+    prod_spec = pl.BlockSpec((1, 32, tr, LANES), lambda b, j: (b, 0, j, 0),
+                             memory_space=pltpu.VMEM)
+    dphi, dom, dtau, dd1, dd2, de = pl.pallas_call(
+        functools.partial(_bwd_prod_kernel, L=L, xtalk=xtalk,
+                          coupling=coupling, scaling=scaling,
+                          M_valid=(M_orig if M_orig != M else None),
+                          inv_M=1.0 / M_orig, tile_rows=tr),
+        grid=(B, ntiles),
+        in_specs=[smem_bl(), smem_bl(), smem_bl(), smem_bt(), smem_bt(),
+                  smem_b1(), vmem(), vmem(), vmem(), prod_spec],
+        out_specs=(smem_bl(), smem_bl(), smem_bl(), vmem(), vmem(), vmem()),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=B * M * L * 4700 * 3, transcendentals=B * L * 4,
+            bytes_accessed=B * (L * 24 + M * 24 + M * 128 + 132),
+        ),
+        interpret=_interpret(),
+    )(phi, om, tau, t_r, t_i, gb, d1, d2, ep, prod)
+
+    if Pn == 3:
+        dpulses = jnp.stack([dphi, dom, dtau], axis=-1)
+    else:
+        dpulses = jnp.stack([dphi, dtau], axis=-1)
+    return (dpulses, dd1.reshape(B, M)[:, :M_orig],
+            dd2.reshape(B, M)[:, :M_orig],
+            de.reshape(B, M)[:, :M_orig])
 
 
 @functools.partial(jax.jit,
@@ -377,9 +549,11 @@ def mean_fidelity_su4_trainable(pulses, target_re, target_im, delta1,
                                 scaling=4):
     """Differentiable fused two-qubit objective: ``(B,) E_M[F]``.
 
-    Forward = the fused SoA Pallas kernel; backward = the fused reverse-sweep
-    kernel above (O(1) residuals).  Use as the training objective for the
-    two-qubit workload (``--backend pallas``)."""
+    Forward = the fused SoA Pallas kernel (also emitting the per-sample
+    product to HBM); backward = the product-seeded fused reverse-sweep
+    kernel above (the product is the only stored residual beyond the
+    inputs — no per-segment storage).  Use as the training objective for
+    the two-qubit workload (``--backend pallas``)."""
     return mean_fidelity_su4_pallas(pulses, target_re, target_im, delta1,
                                     delta2, epsilon, xtalk=xtalk,
                                     coupling=coupling, scaling=scaling)
@@ -387,16 +561,16 @@ def mean_fidelity_su4_trainable(pulses, target_re, target_im, delta1,
 
 def _fwd(pulses, target_re, target_im, delta1, delta2, epsilon, xtalk,
          coupling, scaling):
-    out = mean_fidelity_su4_pallas(pulses, target_re, target_im, delta1,
-                                   delta2, epsilon, xtalk=xtalk,
-                                   coupling=coupling, scaling=scaling)
-    return out, (pulses, target_re, target_im, delta1, delta2, epsilon)
+    out, prod = mean_fidelity_su4_pallas_with_product(
+        pulses, target_re, target_im, delta1, delta2, epsilon, xtalk=xtalk,
+        coupling=coupling, scaling=scaling)
+    return out, (pulses, target_re, target_im, delta1, delta2, epsilon, prod)
 
 
 def _bwd(xtalk, coupling, scaling, res, gbar):
-    pulses, target_re, target_im, delta1, delta2, epsilon = res
-    dpulses, dd1, dd2, de = su4_objective_vjp_pallas(
-        pulses, target_re, target_im, delta1, delta2, epsilon, gbar,
+    pulses, target_re, target_im, delta1, delta2, epsilon, prod = res
+    dpulses, dd1, dd2, de = su4_objective_vjp_from_product(
+        pulses, target_re, target_im, delta1, delta2, epsilon, gbar, prod,
         xtalk=xtalk, coupling=coupling, scaling=scaling)
     # target cotangents are not needed by any training path (targets are
     # data); returning zeros keeps the signature total.
