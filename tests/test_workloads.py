@@ -180,6 +180,36 @@ def test_shipped_length100_flagship_loads_and_performs():
     app.load_pipeline.cache_clear()  # drop the 46 MB pipeline from the cache
 
 
+def test_shipped_gate_bundle_loads_and_performs():
+    """The per-gate finetuned bundle (length100_gates.npz): every named gate's
+    stored converged eval (200k MC, sigma=1) is at/above the measured
+    single-target GRAPE ceiling 0.9536 (ROADMAP round-2 item), and the demo
+    path actually serves the polished table for an exact named-gate request
+    — verified by an independent MC estimate at sigma=1."""
+    from universal_quantum_optimal_control_tpu.analysis import (
+        mc_fidelity_estimate,
+    )
+    from universal_quantum_optimal_control_tpu.demo import app
+    from universal_quantum_optimal_control_tpu.workloads.finetune_gates import (
+        load_gate_bundle,
+    )
+
+    path = app.MODEL_VARIANTS["length_100_gates"]["gate_bundle"]
+    tables, meta = load_gate_bundle(path)
+    assert meta["delta_std"] == 1.0 and meta["eval_mc"] >= 100000
+    for name, f in zip(meta["gates"], meta["fidelity_finetuned"]):
+        assert f >= 0.9536 - 1e-4, (name, f)
+
+    # exact named-gate request must be served from the bundle, not the model
+    pulses, q_t = app.compute_pulses("length_100_gates", 1.0, 0.0, 0.0,
+                                     float(np.pi))
+    assert pulses.shape == (100, 2)
+    np.testing.assert_array_equal(pulses, tables["X"])
+    f, se = mc_fidelity_estimate(pulses, q_t, delta_std=1.0,
+                                 monte_carlo=4000)
+    assert f > 0.94, (f, se)
+
+
 def test_demo_blend_variant_serves_with_base_pulse():
     """length_400 is a finetune-blend variant: the demo pipeline must load
     the registered base pulse and serve 0.2*model + base (reference
