@@ -228,3 +228,115 @@ def test_su4_analysis_plots(tmp_path):
                                          stds=np.arange(0.1, 1.0, 0.2),
                                          monte_carlo=256)
     assert mean[0] > mean[-1]  # decays with disorder
+
+
+# ---------------------------------------------------------------------------
+# drive2 system variant (direct drive line on qubit 2, symmetric cross-talk)
+# ---------------------------------------------------------------------------
+
+
+def dense_H_drive2(phi1, phi2, om, d1, d2, eps, sys_):
+    P = su4.pauli_strings()
+    amp = 0.5 * (1 + eps) * max(om, 0.0)
+    chi = sys_.xtalk
+    line1 = np.cos(phi1) * P["X1"] + np.sin(phi1) * P["Y1"] + chi * (
+        np.cos(phi1) * P["X2"] + np.sin(phi1) * P["Y2"])
+    line2 = np.cos(phi2) * P["X2"] + np.sin(phi2) * P["Y2"] + chi * (
+        np.cos(phi2) * P["X1"] + np.sin(phi2) * P["Y1"])
+    return (amp * (line1 + line2)
+            + 0.5 * (d1 * P["Z1"] + d2 * P["Z2"])
+            + sys_.coupling * P["ZZ"])
+
+
+def test_drive2_propagator_matches_dense_oracle():
+    sys_ = su4.TwoQubitSystem(xtalk=0.1, coupling=0.5, drive2=True)
+    rng = np.random.default_rng(3)
+    B, L = 2, 5
+    pulses = np.stack([
+        rng.uniform(-np.pi, np.pi, (B, L)),
+        rng.uniform(-np.pi, np.pi, (B, L)),
+        rng.uniform(0.2, 1.5, (B, L)),
+        rng.uniform(0.05, 0.4, (B, L))], axis=-1).astype(np.float32)
+    d1 = np.array([0.2, -0.4], np.float32)
+    d2 = np.array([-0.1, 0.3], np.float32)
+    eps = np.array([0.03, -0.02], np.float32)
+
+    for layout in ("ri", "soa"):
+        Ur, Ui = su4.propagate_su4(jnp.asarray(pulses), jnp.asarray(d1),
+                                   jnp.asarray(d2), jnp.asarray(eps), sys_,
+                                   layout=layout)
+        U = np.asarray(su4.complex_from_ri(Ur, Ui))
+        for b in range(B):
+            Uref = np.eye(4, dtype=np.complex64)
+            for k in range(L):
+                H = dense_H_drive2(*[float(pulses[b, k, i]) for i in range(3)],
+                                   float(d1[b]), float(d2[b]), float(eps[b]),
+                                   sys_)
+                Uk = np.asarray(expm(jnp.asarray(
+                    -1j * H * float(pulses[b, k, 3]), jnp.complex64)))
+                Uref = Uk @ Uref
+            np.testing.assert_allclose(U[b], Uref, atol=3e-5, err_msg=layout)
+
+
+def test_drive2_enables_delta2_echo():
+    """The physics the variant exists for: simultaneous X1X2(pi) echo pulses
+    (expressible ONLY with a direct qubit-2 drive) refocus BOTH delta1 and
+    delta2 while commuting with the ZZ coupling — the no-echo free evolution
+    dephases badly at the same delta2."""
+    sys_ = su4.TwoQubitSystem(xtalk=0.0, coupling=0.5, drive2=True)
+    T, om, tpi = 2.0, 200.0, np.pi / 200.0  # near-instantaneous pi pulses
+    echo = jnp.asarray([[0.0, 0.0, 0.0, T], [0.0, 0.0, om, tpi],
+                        [0.0, 0.0, 0.0, T], [0.0, 0.0, om, tpi]],
+                       jnp.float32)[None]
+    free = jnp.asarray([[0.0, 0.0, 0.0, 2 * T + 2 * tpi]],
+                       jnp.float32)[None]
+
+    d2 = jnp.asarray([0.8])
+    zero = jnp.zeros(1)
+    # target: the respective sequence at zero disorder
+    for pulses in (echo, free):
+        tr, ti = su4.propagate_su4(pulses, zero, zero, zero, sys_)
+        Ur, Ui = su4.propagate_su4(pulses, zero, d2, zero, sys_)
+        F = float(su4.fidelity_su4_ri(Ur, Ui, tr, ti)[0])
+        if pulses is echo:
+            f_echo = F
+        else:
+            f_free = F
+    assert f_echo > 0.995, f_echo
+    assert f_free < 0.90, f_free
+
+
+def test_drive2_requires_4_param_pulses_and_xla_backend():
+    import pytest
+
+    from universal_quantum_optimal_control_tpu.training.systems import (
+        SU4System,
+    )
+
+    sys_ = su4.TwoQubitSystem(drive2=True)
+    pulses = jnp.zeros((1, 3, 3))
+    with pytest.raises(ValueError, match="drive2"):
+        su4.propagate_su4(pulses, jnp.zeros(1), jnp.zeros(1), jnp.zeros(1),
+                          sys_)
+
+    s = SU4System(backend="pallas", drive2=True)
+    with pytest.raises(NotImplementedError, match="drive2"):
+        s.local_mean_fidelity(jnp.zeros((1, 3, 4)), jnp.zeros((1, 2, 4, 4)),
+                              (jnp.zeros((1, 8)), jnp.zeros((1, 8)),
+                               jnp.zeros((1, 8))))
+
+
+def test_drive2_grape_smoke():
+    """Tiny multi-start GRAPE in drive2 mode runs end-to-end and produces
+    (L, 4) pulses with finite fidelity."""
+    from universal_quantum_optimal_control_tpu.optimizers.two_qubit_grape import (
+        TwoQubitGrapeConfig,
+        multistart_grape_su4,
+        named_two_qubit_targets,
+    )
+
+    cfg = TwoQubitGrapeConfig(mode="blocks", n_blocks=3, n_starts=2,
+                              steps=10, drive2=True)
+    pulses, info = multistart_grape_su4(named_two_qubit_targets()["cz"], cfg)
+    assert pulses.shape == (6, 4)
+    assert 0.0 <= info["stages"][0]["best_fid"] <= 1.0 + 1e-6

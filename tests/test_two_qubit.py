@@ -184,3 +184,90 @@ def test_shipped_two_qubit_weights_load_and_perform():
     F = np.asarray(su4.fidelity_su4_ri(
         Ur, Ui, targets[:, 0], targets[:, 1]))
     assert F.mean() > 0.9, F
+
+
+# ---------------------------------------------------------------------------
+# KAK / Makhlin featurization
+# ---------------------------------------------------------------------------
+
+
+def _makhlin_oracle(U):
+    """Complex numpy oracle for the Makhlin invariants."""
+    Q = (1.0 / np.sqrt(2.0)) * np.array(
+        [[1, 0, 0, 1j], [0, 1j, 1, 0], [0, 1j, -1, 0], [1, 0, 0, -1j]],
+        dtype=np.complex128)
+    M = Q.conj().T @ U @ Q
+    m = M.T @ M
+    d = np.linalg.det(U)
+    g1 = np.trace(m) ** 2 / (16.0 * d)
+    g2 = (np.trace(m) ** 2 - np.trace(m @ m)) / (4.0 * d)
+    return np.array([g1.real, g1.imag, g2.real])
+
+
+def _rand_su2(rng):
+    a = rng.normal(size=4)
+    a /= np.linalg.norm(a)
+    return np.array([[a[0] + 1j * a[1], a[2] + 1j * a[3]],
+                     [-a[2] + 1j * a[3], a[0] - 1j * a[1]]])
+
+
+def test_makhlin_invariants_match_oracle_and_known_gates():
+    from universal_quantum_optimal_control_tpu.models.two_qubit import (
+        makhlin_invariants_ri,
+    )
+    from universal_quantum_optimal_control_tpu.optimizers.two_qubit_grape import (
+        named_two_qubit_targets,
+    )
+
+    gates = named_two_qubit_targets()
+    U = np.stack([np.eye(4, dtype=np.complex64), gates["cz"],
+                  gates["iswap"], gates["sqrt_swap"]])
+    packed = SU4System.pack_target(U)
+    got = np.asarray(makhlin_invariants_ri(packed))
+    want = np.stack([_makhlin_oracle(u.astype(np.complex128)) for u in U])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # textbook values: identity (1, 0, 3); CZ/CNOT class (0, 0, 1);
+    # iSWAP (0, 0, -1); sqrt-SWAP class (0, ±1/4, 0) — our branch gives −i/4
+    np.testing.assert_allclose(want, np.array(
+        [[1.0, 0.0, 3.0], [0.0, 0.0, 1.0], [0.0, 0.0, -1.0],
+         [0.0, -0.25, 0.0]]), atol=1e-6)
+
+
+def test_makhlin_invariants_are_local_invariants():
+    """(A1 x A2) U (B1 x B2) has the same invariants as U."""
+    from universal_quantum_optimal_control_tpu.models.two_qubit import (
+        makhlin_invariants_ri,
+    )
+
+    rng = np.random.default_rng(5)
+    # a generic SU(4)-ish target from a zero-disorder propagation
+    pulses = jnp.asarray(np.stack(
+        [rng.uniform(-np.pi, np.pi, (1, 6)),
+         rng.uniform(0.1, 0.5, (1, 6))], -1).astype(np.float32))
+    z = jnp.zeros(1)
+    Ur, Ui = su4.propagate_su4(pulses, z, z, z, su4.TwoQubitSystem())
+    U = np.asarray(su4.complex_from_ri(Ur, Ui))[0].astype(np.complex128)
+
+    A = np.kron(_rand_su2(rng), _rand_su2(rng))
+    B = np.kron(_rand_su2(rng), _rand_su2(rng))
+    both = np.stack([U, A @ U @ B])
+    inv = np.asarray(makhlin_invariants_ri(SU4System.pack_target(both)))
+    np.testing.assert_allclose(inv[0], inv[1], atol=2e-5)
+
+
+def test_two_qubit_model_kak_features_shapes_and_grads():
+    model = TwoQubitQOCTransformer(
+        pulse_space=normalize_pulse_space({"phi": (-3.15, 3.15),
+                                           "tau": (0.1, 0.5)}),
+        max_pulses=6, d_model=32, n_layers=2, n_heads=4,
+        dtype=jnp.float32, kak_features=True)
+    t = SU4System.pack_target(np.stack([np.eye(4, dtype=np.complex64)] * 3))
+    params = model.init(jax.random.PRNGKey(0), t)
+    pulses = model.apply(params, t)
+    assert pulses.shape == (3, 6, 2)
+
+    def loss(p):
+        return jnp.sum(model.apply(p, t) ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(jnp.all(jnp.isfinite(x)) for x in jax.tree_util.tree_leaves(g))

@@ -82,12 +82,27 @@ class TwoQubitSystem(NamedTuple):
     The order-8 default uses a Paterson–Stockmeyer evaluation (4 matmuls +
     squarings) and is exact to <1e-7 for ‖Hτ‖ ≲ 4; measured on v5e it is
     also FASTER than lower-order term chains (more matmul parallelism), so
-    only change these for accuracy reasons."""
+    only change these for accuracy reasons.
+
+    ``drive2``: the system variant with a SECOND direct drive line on
+    qubit 2 (symmetric cross-talk: each line leaks a χ fraction onto the
+    other qubit).  Pulse tables then carry 4 parameters per segment —
+    (φ₁, φ₂, Ω, τ) with a shared amplitude Ω and shared pulse-length error:
+
+        H = ½(1+ε)Ω·[cos φ₁·X₁ + sin φ₁·Y₁ + χ(cos φ₁·X₂ + sin φ₁·Y₂)
+                     + cos φ₂·X₂ + sin φ₂·Y₂ + χ(cos φ₂·X₁ + sin φ₂·Y₁)]
+            + ½(δ₁Z₁ + δ₂Z₂) + J·Z₁Z₂
+
+    This is the ROADMAP "direct drive on qubit 2" falsification variant for
+    the δ₂-dephasing robustness ceiling (docs/two_qubit_results.md): with a
+    direct drive, δ₂ becomes refocusable (echo pulses on qubit 2), which the
+    cross-talk-only system structurally forbids (analysis/dephasing_bound)."""
 
     xtalk: float = 0.1
     coupling: float = 0.5
     expm_order: int = 8
     expm_scaling: int = 4
+    drive2: bool = False
 
 
 def ri_from_complex(U: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -101,11 +116,14 @@ def complex_from_ri(Ur: jax.Array, Ui: jax.Array) -> jax.Array:
 def su4_hamiltonian(phi: jax.Array, delta1: jax.Array, delta2: jax.Array,
                     epsilon: jax.Array,
                     system: TwoQubitSystem,
-                    omega: jax.Array = None) -> Tuple[jax.Array, jax.Array]:
+                    omega: jax.Array = None,
+                    phi2: jax.Array = None) -> Tuple[jax.Array, jax.Array]:
     """H as (real, imag) float32 pair, broadcasting over leading axes.
 
     phi/delta/epsilon: ``(...,)`` → ``(..., 4, 4)`` each.  ``omega`` (optional)
     scales the drive amplitude (3-parameter pulse space); default 1.
+    ``phi2`` (optional) adds the second direct drive line on qubit 2 with
+    symmetric cross-talk (``TwoQubitSystem.drive2`` variant).
     """
     c = jnp.cos(phi)
     s = jnp.sin(phi)
@@ -114,12 +132,22 @@ def su4_hamiltonian(phi: jax.Array, delta1: jax.Array, delta2: jax.Array,
         amp = amp * jnp.maximum(omega, 0.0)
     chi = system.xtalk
 
+    cx1, cy1 = amp * c, amp * s
+    cx2, cy2 = amp * chi * c, amp * chi * s
+    if phi2 is not None:
+        c2 = jnp.cos(phi2)
+        s2 = jnp.sin(phi2)
+        cx2 = cx2 + amp * c2
+        cy2 = cy2 + amp * s2
+        cx1 = cx1 + amp * chi * c2
+        cy1 = cy1 + amp * chi * s2
+
     def mix(table):
         return (
-            (amp * c)[..., None, None] * table["X1"]
-            + (amp * s)[..., None, None] * table["Y1"]
-            + (amp * chi * c)[..., None, None] * table["X2"]
-            + (amp * chi * s)[..., None, None] * table["Y2"]
+            cx1[..., None, None] * table["X1"]
+            + cy1[..., None, None] * table["Y1"]
+            + cx2[..., None, None] * table["X2"]
+            + cy2[..., None, None] * table["Y2"]
             + (0.5 * delta1)[..., None, None] * table["Z1"]
             + (0.5 * delta2)[..., None, None] * table["Z2"]
             + jnp.broadcast_to(system.coupling * table["ZZ"],
@@ -183,7 +211,7 @@ def _matmul16(ar, ai, br, bi):
     return jnp.stack(cr), jnp.stack(ci)
 
 
-def _h16(phi, delta1, delta2, epsilon, system, omega=None):
+def _h16(phi, delta1, delta2, epsilon, system, omega=None, phi2=None):
     """Hamiltonian in SoA layout: batch scalars ``(...,)`` → ``(16, ...)``
     (re, im) pair.  Zero Pauli-table coefficients are folded at trace time
     (most of the 16 entries touch only 1-3 of the 7 strings)."""
@@ -193,8 +221,17 @@ def _h16(phi, delta1, delta2, epsilon, system, omega=None):
     if omega is not None:
         amp = amp * jnp.maximum(omega, 0.0)
     chi = system.xtalk
-    coefs = [(amp * c, "X1"), (amp * s, "Y1"),
-             (amp * chi * c, "X2"), (amp * chi * s, "Y2"),
+    cx1, cy1 = amp * c, amp * s
+    cx2, cy2 = amp * chi * c, amp * chi * s
+    if phi2 is not None:
+        c2 = jnp.cos(phi2)
+        s2 = jnp.sin(phi2)
+        cx2 = cx2 + amp * c2
+        cy2 = cy2 + amp * s2
+        cx1 = cx1 + amp * chi * c2
+        cy1 = cy1 + amp * chi * s2
+    coefs = [(cx1, "X1"), (cy1, "Y1"),
+             (cx2, "X2"), (cy2, "Y2"),
              (0.5 * delta1, "Z1"), (0.5 * delta2, "Z2")]
     shape = jnp.broadcast_shapes(phi.shape, delta1.shape, delta2.shape,
                                  epsilon.shape)
@@ -308,8 +345,9 @@ def propagate_su4(pulses: jax.Array, delta1: jax.Array, delta2: jax.Array,
                   layout: str = "auto") -> Tuple[jax.Array, jax.Array]:
     """Compose ``U_L ⋯ U_1`` for two-qubit phase-control sequences.
 
-    pulses: ``(..., L, 2)`` (φ, τ); disorder: ``(...,)`` each.
-    Returns (re, im) pair ``(..., 4, 4)``.
+    pulses: ``(..., L, 2)`` (φ, τ), ``(..., L, 3)`` (φ, Ω, τ) or — when
+    ``system.drive2`` — ``(..., L, 4)`` (φ₁, φ₂, Ω, τ); disorder: ``(...,)``
+    each.  Returns (re, im) pair ``(..., 4, 4)``.
 
     ``layout``: "soa" scans in the entries-leading ``(16, batch)`` layout —
     on TPU a trailing (4, 4) tiles to (4, 128) lanes, so the scan VJP pays
@@ -324,13 +362,34 @@ def propagate_su4(pulses: jax.Array, delta1: jax.Array, delta2: jax.Array,
     P = pulses.shape[-1]
     phi = jnp.moveaxis(pulses[..., 0], -1, 0)  # (L, ...)
     tau = jnp.moveaxis(pulses[..., -1], -1, 0)
-    omega = jnp.moveaxis(pulses[..., 1], -1, 0) if P == 3 else None
-    if P not in (2, 3):
-        raise ValueError(f"unsupported pulse parameter count: {P}")
+    if system.drive2:
+        if P != 4:
+            raise ValueError(
+                f"system.drive2 expects 4-parameter pulses (phi1, phi2, "
+                f"omega, tau); got P={P}")
+        phi2 = jnp.moveaxis(pulses[..., 1], -1, 0)
+        omega = jnp.moveaxis(pulses[..., 2], -1, 0)
+    else:
+        if P not in (2, 3):
+            raise ValueError(f"unsupported pulse parameter count: {P}")
+        phi2 = None
+        omega = jnp.moveaxis(pulses[..., 1], -1, 0) if P == 3 else None
 
     batch_shape = jnp.broadcast_shapes(
         phi.shape[1:], delta1.shape, delta2.shape, epsilon.shape)
-    xs = (phi, tau) if omega is None else (phi, omega, tau)
+    xs = tuple(x for x in (phi, phi2, omega, tau) if x is not None)
+
+    def unpack(pt):
+        """Scan slice → (phi_k, phi2_k, om_k, tau_k), absent ones None."""
+        it = iter(pt)
+        phi_k = next(it)
+        phi2_k = next(it) if phi2 is not None else None
+        om_k = next(it) if omega is not None else None
+        tau_k = next(it)
+        bc = lambda x: (jnp.broadcast_to(x, batch_shape)
+                        if x is not None else None)
+        return bc(phi_k), bc(phi2_k), bc(om_k), jnp.broadcast_to(
+            tau_k, batch_shape)
 
     if layout == "soa":
         # SoA carry: (16, *batch) (re, im) — batch dims minor-most, so the
@@ -340,18 +399,13 @@ def propagate_su4(pulses: jax.Array, delta1: jax.Array, delta2: jax.Array,
                 jnp.zeros((16,) + batch_shape, jnp.float32))
 
         def body(carry, pt):
-            if omega is None:
-                phi_k, tau_k = pt
-                om_k = None
-            else:
-                phi_k, om_k, tau_k = pt
-                om_k = jnp.broadcast_to(om_k, batch_shape)
-            Hr, Hi = _h16(jnp.broadcast_to(phi_k, batch_shape),
+            phi_k, phi2_k, om_k, tau_k = unpack(pt)
+            Hr, Hi = _h16(phi_k,
                           jnp.broadcast_to(delta1, batch_shape),
                           jnp.broadcast_to(delta2, batch_shape),
                           jnp.broadcast_to(epsilon, batch_shape),
-                          system, omega=om_k)
-            Ukr, Uki = _expm16(Hr, Hi, jnp.broadcast_to(tau_k, batch_shape),
+                          system, omega=om_k, phi2=phi2_k)
+            Ukr, Uki = _expm16(Hr, Hi, tau_k,
                                order=system.expm_order,
                                scaling=system.expm_scaling)
             return _matmul16(Ukr, Uki, *carry), None
@@ -371,17 +425,10 @@ def propagate_su4(pulses: jax.Array, delta1: jax.Array, delta2: jax.Array,
             jnp.zeros(batch_shape + (4, 4), jnp.float32))
 
     def body_ri(carry, pt):
-        if omega is None:
-            phi_k, tau_k = pt
-            om_k = None
-        else:
-            phi_k, om_k, tau_k = pt
-            om_k = jnp.broadcast_to(om_k, batch_shape)
+        phi_k, phi2_k, om_k, tau_k = unpack(pt)
         Hr, Hi = su4_hamiltonian(
-            jnp.broadcast_to(phi_k, batch_shape), delta1, delta2, epsilon,
-            system, omega=om_k)
-        Ukr, Uki = expm_taylor_ri(Hr, Hi,
-                                  jnp.broadcast_to(tau_k, batch_shape),
+            phi_k, delta1, delta2, epsilon, system, omega=om_k, phi2=phi2_k)
+        Ukr, Uki = expm_taylor_ri(Hr, Hi, tau_k,
                                   order=system.expm_order,
                                   scaling=system.expm_scaling)
         return _matmul_ri(Ukr, Uki, *carry), None

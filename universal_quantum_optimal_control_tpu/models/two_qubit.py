@@ -18,11 +18,15 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+import itertools
+
+import numpy as np
+
 from .score_embedding import sinusoidal_positional_encoding
 from .universal_transformer import EncoderBlock, PulseSpace, wrap_angle
 
 __all__ = ["TwoQubitQOCTransformer", "transfer_encoder_params",
-           "unitary_tokens"]
+           "unitary_tokens", "makhlin_invariants_ri"]
 
 
 def unitary_tokens(packed_target: jax.Array) -> jax.Array:
@@ -34,6 +38,85 @@ def unitary_tokens(packed_target: jax.Array) -> jax.Array:
     re = packed_target[:, 0]  # (B, 4, 4)
     im = packed_target[:, 1]
     return jnp.stack([re, im], axis=-1).reshape(*re.shape[:-1], 8)
+
+
+# ---------------------------------------------------------------------------
+# KAK / Cartan featurization (Makhlin local invariants)
+# ---------------------------------------------------------------------------
+
+# Magic (Bell) basis: U is locally equivalent to V iff their Makhlin
+# invariants agree; m = Mᵀ M with M = Q†UQ is invariant under left/right
+# single-qubit rotations up to conjugation, so G1 = tr²(m)/(16·det U) and
+# G2 = (tr²(m) − tr(m²))/(4·det U) depend only on the Cartan class
+# (c_x, c_y, c_z) of the target — the SU(4) analog of the SCORE embedding's
+# rotation-invariant featurization (reference universal_model.py:148-195
+# featurizes by Euler class; the reference ships no two-qubit code).
+_Q_MAGIC = (1.0 / np.sqrt(2.0)) * np.array(
+    [[1, 0, 0, 1j],
+     [0, 1j, 1, 0],
+     [0, 1j, -1, 0],
+     [1, 0, 0, -1j]], dtype=np.complex128)
+_QR = np.asarray(_Q_MAGIC.real, np.float32)
+_QI = np.asarray(_Q_MAGIC.imag, np.float32)
+# 4×4 determinant via permutation expansion (24 terms) — closed form so it
+# runs in real (re, im) arithmetic on TPU (complex LU/QR are unimplemented
+# on some backends); built at import time on host.
+_PERMS = [(p, float(np.linalg.det(np.eye(4)[list(p)])))
+          for p in itertools.permutations(range(4))]
+
+
+def _mm_ri(ar, ai, br, bi):
+    P = jax.lax.Precision.HIGHEST
+    k1 = jnp.matmul(ar, br + bi, precision=P)
+    k2 = jnp.matmul(ar + ai, bi, precision=P)
+    k3 = jnp.matmul(ai - ar, br, precision=P)
+    return k1 - k2, k1 + k3
+
+
+def _det4_ri(Ur, Ui):
+    """Closed-form complex determinant of ``(..., 4, 4)`` (re, im) pairs."""
+    dr = jnp.zeros(Ur.shape[:-2], Ur.dtype)
+    di = jnp.zeros(Ur.shape[:-2], Ur.dtype)
+    for p, sgn in _PERMS:
+        tr_ = Ur[..., 0, p[0]]
+        ti_ = Ui[..., 0, p[0]]
+        for r in range(1, 4):
+            br, bi = Ur[..., r, p[r]], Ui[..., r, p[r]]
+            tr_, ti_ = tr_ * br - ti_ * bi, tr_ * bi + ti_ * br
+        dr = dr + sgn * tr_
+        di = di + sgn * ti_
+    return dr, di
+
+
+def makhlin_invariants_ri(packed_target: jax.Array) -> jax.Array:
+    """Packed targets ``(B, 2, 4, 4)`` → Makhlin invariants ``(B, 3)``:
+    ``(Re G1, Im G1, Re G2)``.  Pure real arithmetic (TPU-safe)."""
+    Ur = packed_target[:, 0]
+    Ui = packed_target[:, 1]
+    Qr = jnp.asarray(_QR)
+    Qi = jnp.asarray(_QI)
+    # M = Q† U Q
+    Tr_, Ti_ = _mm_ri(Qr.T, -Qi.T, Ur, Ui)
+    Mr, Mi = _mm_ri(Tr_, Ti_, Qr, Qi)
+    # m = Mᵀ M
+    mr, mi = _mm_ri(jnp.swapaxes(Mr, -1, -2), jnp.swapaxes(Mi, -1, -2),
+                    Mr, Mi)
+    tr_r = jnp.trace(mr, axis1=-2, axis2=-1)
+    tr_i = jnp.trace(mi, axis1=-2, axis2=-1)
+    tr2_r = tr_r * tr_r - tr_i * tr_i
+    tr2_i = 2.0 * tr_r * tr_i
+    # tr(m²) = Σᵢⱼ mᵢⱼ·mⱼᵢ
+    trm2_r = jnp.sum(mr * jnp.swapaxes(mr, -1, -2)
+                     - mi * jnp.swapaxes(mi, -1, -2), axis=(-2, -1))
+    trm2_i = 2.0 * jnp.sum(mr * jnp.swapaxes(mi, -1, -2), axis=(-2, -1))
+    det_r, det_i = _det4_ri(Ur, Ui)
+    inv_d = 1.0 / jnp.maximum(det_r * det_r + det_i * det_i, 1e-12)
+    g1_r = (tr2_r * det_r + tr2_i * det_i) * inv_d / 16.0
+    g1_i = (tr2_i * det_r - tr2_r * det_i) * inv_d / 16.0
+    n_r = tr2_r - trm2_r
+    n_i = tr2_i - trm2_i
+    g2_r = (n_r * det_r + n_i * det_i) * inv_d / 4.0
+    return jnp.stack([g1_r, g1_i, g2_r], axis=-1)
 
 
 class TwoQubitQOCTransformer(nn.Module):
@@ -52,6 +135,11 @@ class TwoQubitQOCTransformer(nn.Module):
     dropout: float = 0.1
     num_qubits: int = 2
     dtype: jnp.dtype = jnp.bfloat16
+    # append a 5th token carrying the Makhlin/KAK local invariants of the
+    # target (the SU(4) analog of the SCORE embedding's rotation-class
+    # featurization) — the encoder then sees the target's Cartan class
+    # explicitly instead of having to infer it from raw matrix entries
+    kak_features: bool = False
 
     @property
     def param_dim(self) -> int:
@@ -63,6 +151,12 @@ class TwoQubitQOCTransformer(nn.Module):
         """``(B, 2, 4, 4)`` packed targets → ``(B, max_pulses, P)`` pulses."""
         P = self.param_dim
         tokens = unitary_tokens(packed_target.astype(jnp.float32))  # (B, 4, 8)
+        if self.kak_features:
+            feats = makhlin_invariants_ri(packed_target.astype(jnp.float32))
+            pad = jnp.zeros(feats.shape[:-1] + (8 - feats.shape[-1],),
+                            jnp.float32)
+            tokens = jnp.concatenate(
+                [tokens, jnp.concatenate([feats, pad], -1)[:, None, :]], 1)
         L_tok = tokens.shape[-2]
 
         emb = nn.Dense(self.d_model, dtype=self.dtype, name="unitary_proj")(

@@ -57,6 +57,7 @@ class TwoQubitGrapeConfig:
     seed: int = 0
     xtalk: float = 0.1
     coupling: float = 0.5
+    drive2: bool = False          # direct drive on qubit 2 (4-param pulses)
 
 
 def named_two_qubit_targets() -> Dict[str, np.ndarray]:
@@ -82,29 +83,38 @@ def named_two_qubit_targets() -> Dict[str, np.ndarray]:
 
 def _init_raw(cfg: TwoQubitGrapeConfig, key: jax.Array) -> jax.Array:
     n = cfg.n_blocks if cfg.mode == "blocks" else cfg.num_pulses
-    k1, k2, k3 = jax.random.split(key, 3)
-    return jnp.stack([
-        jax.random.normal(k1, (cfg.n_starts, n)),
-        jax.random.normal(k2, (cfg.n_starts, n)) * 0.5,
-        jax.random.normal(k3, (cfg.n_starts, n)) * 0.5,
-    ], -1)
+    nchan = 4 if cfg.drive2 else 3
+    keys = jax.random.split(key, nchan)
+    scale = [1.0] + [1.0] * (nchan - 3) + [0.5, 0.5]
+    return jnp.stack([jax.random.normal(k, (cfg.n_starts, n)) * s
+                      for k, s in zip(keys, scale)], -1)
 
 
 def _to_pulses(raw: jax.Array, cfg: TwoQubitGrapeConfig) -> jax.Array:
-    """Raw parameters → physical ``(S, L, 3)`` pulse tables ``(φ, Ω, τ)``."""
+    """Raw parameters → physical pulse tables: ``(S, L, 3)`` ``(φ, Ω, τ)``,
+    or ``(S, L, 4)`` ``(φ₁, φ₂, Ω, τ)`` in ``drive2`` mode."""
     if cfg.mode == "blocks":
         phi = jnp.pi * jnp.tanh(raw[..., 0])
-        area = cfg.area_max * jax.nn.sigmoid(raw[..., 1])
-        tfree = cfg.tfree_max * jax.nn.sigmoid(raw[..., 2])
+        area = cfg.area_max * jax.nn.sigmoid(raw[..., -2])
+        tfree = cfg.tfree_max * jax.nn.sigmoid(raw[..., -1])
         om_d = jnp.full_like(phi, cfg.omega_max)
         tau_d = area / cfg.omega_max           # q1 rotation angle = Ω·τ
-        drive = jnp.stack([phi, om_d, tau_d], -1)
-        free = jnp.stack([jnp.zeros_like(phi), jnp.zeros_like(phi),
-                          tfree], -1)
-        return jnp.stack([drive, free], 2).reshape(raw.shape[0], -1, 3)
+        zero = jnp.zeros_like(phi)
+        if cfg.drive2:
+            phi2 = jnp.pi * jnp.tanh(raw[..., 1])
+            drive = jnp.stack([phi, phi2, om_d, tau_d], -1)
+            free = jnp.stack([zero, zero, zero, tfree], -1)
+        else:
+            drive = jnp.stack([phi, om_d, tau_d], -1)
+            free = jnp.stack([zero, zero, tfree], -1)
+        return jnp.stack([drive, free], 2).reshape(
+            raw.shape[0], -1, raw.shape[-1])
     phi = jnp.pi * jnp.tanh(raw[..., 0])
-    om = cfg.omega_max * jax.nn.sigmoid(raw[..., 1])
-    tau = 0.05 + (cfg.tau_max - 0.05) * jax.nn.sigmoid(raw[..., 2])
+    om = cfg.omega_max * jax.nn.sigmoid(raw[..., -2])
+    tau = 0.05 + (cfg.tau_max - 0.05) * jax.nn.sigmoid(raw[..., -1])
+    if cfg.drive2:
+        phi2 = jnp.pi * jnp.tanh(raw[..., 1])
+        return jnp.stack([phi, phi2, om, tau], -1)
     return jnp.stack([phi, om, tau], -1)
 
 
@@ -124,7 +134,8 @@ def multistart_grape_su4(
     Returns ``(best_pulses (L, 3), info)`` with per-stage best fidelities.
     """
     cfg = config
-    system = su4.TwoQubitSystem(xtalk=cfg.xtalk, coupling=cfg.coupling)
+    system = su4.TwoQubitSystem(xtalk=cfg.xtalk, coupling=cfg.coupling,
+                                drive2=cfg.drive2)
     key = key if key is not None else jax.random.PRNGKey(cfg.seed)
     k_init, key = jax.random.split(key)
     raw = _init_raw(cfg, k_init)

@@ -75,8 +75,9 @@ class SU4System:
     (``ops/propagate_su4_pallas{,_bwd}.py`` — O(1) residuals)."""
 
     def __init__(self, xtalk: float = 0.1, coupling: float = 0.5,
-                 backend: str = "xla") -> None:
-        self.system = su4_mod.TwoQubitSystem(xtalk=xtalk, coupling=coupling)
+                 backend: str = "xla", drive2: bool = False) -> None:
+        self.system = su4_mod.TwoQubitSystem(xtalk=xtalk, coupling=coupling,
+                                             drive2=drive2)
         self.backend = backend
 
     @staticmethod
@@ -102,6 +103,11 @@ class SU4System:
     def local_mean_fidelity(self, pulses, target, errors):
         delta1, delta2, eps = errors
         if self.backend == "pallas":
+            if self.system.drive2:
+                raise NotImplementedError(
+                    "the fused SU(4) Pallas kernels implement the cross-talk"
+                    "-only drive; the drive2 system variant runs on "
+                    "backend='xla' (SoA scan autodiff)")
             if self.system.expm_order != 8:
                 raise NotImplementedError(
                     f"the fused SU(4) Pallas kernels hard-code the order-8 "

@@ -83,6 +83,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="objective path: autodiff through the SoA scan, or "
                         "the fused Pallas forward + reverse-sweep VJP "
                         "kernels")
+    p.add_argument("--kak_features", action="store_true",
+                   help="append a token with the target's Makhlin/KAK local "
+                        "invariants (the SU(4) analog of the SCORE "
+                        "embedding's rotation-class featurization)")
     p.add_argument("--curriculum", default="0.2,0.4,0.7",
                    help="comma-separated delta_std curriculum bands.  The "
                         "universal SU(4) inversion task benefits from a "
@@ -105,6 +109,7 @@ def main(argv=None) -> None:
         max_pulses=args.max_pulses, d_model=args.d_model,
         n_layers=args.n_layers, n_heads=args.n_heads,
         dtype=jnp.float32 if args.dtype == "f32" else jnp.bfloat16,
+        kak_features=args.kak_features,
     )
 
     key = jax.random.PRNGKey(args.seed)

@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--monte_carlo", type=int, default=128)
     p.add_argument("--xtalk", type=float, default=0.1)
     p.add_argument("--coupling", type=float, default=0.5)
+    p.add_argument("--drive2", action="store_true",
+                   help="system variant: direct drive line on qubit 2 "
+                        "(4-parameter pulses, symmetric cross-talk) — the "
+                        "delta2-refocusability falsification experiment "
+                        "(docs/two_qubit_results.md)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="weights/two_qubit_grape")
     p.add_argument("--curve_sigmas", default="0.02,0.05,0.1,0.15,0.2,0.3",
@@ -103,7 +108,7 @@ def main(argv=None) -> None:
         n_starts=args.n_starts, steps=args.steps,
         learning_rate=args.learning_rate, sigmas=sigmas,
         monte_carlo=args.monte_carlo, xtalk=args.xtalk,
-        coupling=args.coupling, seed=args.seed)
+        coupling=args.coupling, seed=args.seed, drive2=args.drive2)
 
     pulses, info = multistart_grape_su4(u_target, cfg, verbose=True)
 
@@ -112,10 +117,14 @@ def main(argv=None) -> None:
     np.savez(out / "pulses.npz", pulses=pulses,
              u_target=np.asarray(u_target))
 
-    system = su4.TwoQubitSystem(xtalk=args.xtalk, coupling=args.coupling)
+    system = su4.TwoQubitSystem(xtalk=args.xtalk, coupling=args.coupling,
+                                drive2=args.drive2)
     curve_sigmas = [float(s) for s in args.curve_sigmas.split(",") if s]
+    # the fused kernels implement the cross-talk-only drive; the drive2
+    # variant propagates through the XLA SoA path
     curve = robustness_curve(pulses, u_target, curve_sigmas, args.curve_mc,
-                             system)
+                             system,
+                             backend="xla" if args.drive2 else "pallas")
     with open(out / "robustness.csv", "w") as f:
         f.write("sigma_delta,EF,SE\n")
         for s, m, se in curve:
