@@ -153,6 +153,39 @@ def test_block_grape_reaches_cz():
     assert np.any(np.asarray(pulses[:, 1]) == 0.0)
 
 
+def test_shipped_cz_drive2_pulse_beats_the_crosstalk_ceiling():
+    """The shipped drive2 CZ pulse (demo/weights/cz_drive2_pulse.npz) is the
+    dephasing-bound FALSIFICATION artifact: with a direct drive line on
+    qubit 2 the delta2 toggling rate is Omega-bar instead of chi*Omega-bar,
+    so delta2 becomes refocusable and the chi=0.1 cross-talk ceiling
+    (E[F](sigma=0.2) = 0.48 for CZ GRAPE, docs/two_qubit_results.md) must
+    vanish.  Measured on v5e: 0.9341 +/- 0.0018 at sigma=0.2 (M=4096).
+    Here: re-propagate the pulse on the drive2 system at sigma=0.2 and
+    require E[F] >= 0.90 (threshold leaves ~15 sigma of MC margin)."""
+    from pathlib import Path
+
+    path = (Path(__file__).parent.parent
+            / "universal_quantum_optimal_control_tpu" / "demo" / "weights"
+            / "cz_drive2_pulse.npz")
+    data = np.load(path)
+    pulses = jnp.asarray(data["pulses"])[None]          # (1, 20, 4)
+    assert pulses.shape == (1, 20, 4)
+    u_target = data["u_target"]
+    system = su4.TwoQubitSystem(drive2=True)
+
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(key, 3)
+    M = 2048
+    d1 = jax.random.normal(k1, (1, M)) * 0.2
+    d2 = jax.random.normal(k2, (1, M)) * 0.2
+    ep = jax.random.normal(k3, (1, M)) * 0.05
+    Ur, Ui = su4.propagate_su4_mc(pulses, d1, d2, ep, system)
+    TR = jnp.asarray(u_target.real, jnp.float32)
+    TI = jnp.asarray(u_target.imag, jnp.float32)
+    F = np.asarray(su4.fidelity_su4_ri(Ur, Ui, TR, TI))[0]
+    assert F.mean() > 0.90, F.mean()
+
+
 def test_shipped_two_qubit_weights_load_and_perform():
     """The shipped two-qubit universal artifact (band-0 sigma=0 eval 0.9944
     at training): loaded through the npz serializer it must map reachable
