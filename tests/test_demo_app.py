@@ -35,6 +35,21 @@ def test_unshipped_variant_raises_clear_error():
         app.load_pipeline(unshipped[0])
 
 
+def test_two_qubit_pulse_variants_render(tmp_path):
+    """SU(4) demo rendering (VERDICT r2 item 6): the shipped single-target
+    pulse variants render the CSV + F(δ₁,δ₂) contour + E[F](σ) artifacts —
+    including the drive2 variant, whose 4-parameter table must propagate on
+    the drive2 system."""
+    for variant, ncols in (("cz_robust", 3), ("cz_drive2", 4)):
+        out = tmp_path / variant
+        paths = app.render_two_qubit_artifacts(
+            variant, "cz", str(out), monte_carlo=64, n_delta=9)
+        for k in ("csv", "contour", "fidelity"):
+            assert Path(paths[k]).exists(), (variant, k)
+        header = Path(paths["csv"]).read_text().splitlines()[0]
+        assert len(header.split(",")) == ncols, (variant, header)
+
+
 class _FakeComponent:
     def __init__(self, *args, **kwargs):
         self.args = args

@@ -203,6 +203,38 @@ def test_poly_sincos_primitive_accuracy():
                                atol=2e-6)
 
 
+def test_poly_fast_sincos_primitive_accuracy():
+    """The deg-7/6 lever pair (sincos="poly_fast") holds the 1e-5 contract."""
+    x = jnp.asarray(np.linspace(-12.0, 12.0, 20001), jnp.float32)
+    s, c = pk._sincos_poly(x, fast=True)
+    np.testing.assert_allclose(np.asarray(s), np.sin(np.asarray(x)),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c), np.cos(np.asarray(x)),
+                               atol=1e-5)
+
+
+def test_lever_variants_match_default():
+    """The round-3 lever knobs — sincos="poly_fast" (deg-7/6 minimax) and
+    schedule="paired" (pair-product composition, benchmarks/su2_fwd_levers.py)
+    — must reproduce the default path: paired exactly (same ops, different
+    association order ⇒ f32 rounding only), poly_fast to its 1e-5 poly
+    error."""
+    pulses, delta, eps = make_inputs(B=2, L=9, M=256, seed=13)  # odd L
+    delta = delta * 3.0
+    q_t = su2.quat_normalize(jax.random.normal(jax.random.PRNGKey(2), (2, 4)))
+    f_def = pk._mean_fid_raw(pulses, q_t, delta, eps)
+    for kw in ({"sincos": "poly_fast"}, {"schedule": "paired"},
+               {"sincos": "poly_fast", "schedule": "paired"}):
+        f = pk._mean_fid_raw(pulses, q_t, delta, eps, **kw)
+        np.testing.assert_allclose(np.asarray(f), np.asarray(f_def),
+                                   atol=2e-5, err_msg=str(kw))
+    q_def = pk._propagate_mc_pallas_raw(pulses, delta, eps)
+    q_pair = pk._propagate_mc_pallas_raw(pulses, delta, eps,
+                                         schedule="paired")
+    np.testing.assert_allclose(np.asarray(q_pair), np.asarray(q_def),
+                               atol=1e-6)
+
+
 # ---- 3-parameter (phi, Omega, tau) amplitude-modulated pulse space --------
 
 def make_amp_inputs(B=3, L=12, M=256, seed=11, omega_min=0.1):

@@ -23,20 +23,25 @@ __all__ = ["fidelity_grid_su4", "fidelity_contour_plot_su4",
 
 
 def _as_packed(u_target) -> Tuple[jax.Array, jax.Array]:
-    u = jnp.asarray(u_target)
+    # complex split on HOST numpy: eager complex ops are unimplemented on
+    # some remote-device backends (same rationale as SU4System.pack_target)
+    u = np.asarray(u_target)
     if u.ndim == 3 and u.shape[0] == 2:  # packed (2, 4, 4)
-        return u[0].astype(jnp.float32), u[1].astype(jnp.float32)
-    return (jnp.real(u).astype(jnp.float32),
-            jnp.imag(u).astype(jnp.float32))
+        return (jnp.asarray(u[0], jnp.float32),
+                jnp.asarray(u[1], jnp.float32))
+    return (jnp.asarray(u.real, jnp.float32),
+            jnp.asarray(u.imag, jnp.float32))
 
 
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("xtalk", "coupling"))
-def _grid_fid_su4(pulses, tr, ti, d1g, d2g, eps, xtalk, coupling):
+@partial(jax.jit, static_argnames=("xtalk", "coupling", "drive2"))
+def _grid_fid_su4(pulses, tr, ti, d1g, d2g, eps, xtalk, coupling,
+                  drive2=False):
     dd1, dd2 = jnp.meshgrid(d1g, d2g, indexing="ij")
-    system = su4.TwoQubitSystem(xtalk=xtalk, coupling=coupling)
+    system = su4.TwoQubitSystem(xtalk=xtalk, coupling=coupling,
+                                drive2=drive2)
     Ur, Ui = su4.propagate_su4(pulses[None, None], dd1, dd2,
                                jnp.broadcast_to(eps, dd1.shape), system)
     return su4.fidelity_su4_ri(Ur, Ui, tr, ti)
@@ -50,7 +55,8 @@ def fidelity_grid_su4(pulses, u_target,
     tr, ti = _as_packed(u_target)
     dg = jnp.linspace(*delta_range, n_delta)
     F = _grid_fid_su4(jnp.asarray(pulses), tr, ti, dg, dg,
-                      jnp.float32(epsilon), system.xtalk, system.coupling)
+                      jnp.float32(epsilon), system.xtalk, system.coupling,
+                      system.drive2)
     return np.asarray(dg), np.asarray(F)
 
 
@@ -79,9 +85,11 @@ def fidelity_contour_plot_su4(pulses, u_target,
     return fig
 
 
-@partial(jax.jit, static_argnames=("xtalk", "coupling"))
-def _sweep_su4(pulses, tr, ti, n1, n2, ne, stds, xtalk, coupling):
-    system = su4.TwoQubitSystem(xtalk=xtalk, coupling=coupling)
+@partial(jax.jit, static_argnames=("xtalk", "coupling", "drive2"))
+def _sweep_su4(pulses, tr, ti, n1, n2, ne, stds, xtalk, coupling,
+               drive2=False):
+    system = su4.TwoQubitSystem(xtalk=xtalk, coupling=coupling,
+                                drive2=drive2)
     d1 = (n1 * stds[:, None]).reshape(1, -1)
     d2 = (n2 * stds[:, None]).reshape(1, -1)
     Ur, Ui = su4.propagate_su4_mc(pulses[None], d1, d2, ne.reshape(1, -1),
@@ -106,5 +114,5 @@ def fidelity_by_std_su4(pulses, u_target,
     ne = jax.random.normal(k3, (S, monte_carlo)) * epsilon_std
     tr, ti = _as_packed(u_target)
     mean, se = _sweep_su4(jnp.asarray(pulses), tr, ti, n1, n2, ne, stds,
-                          system.xtalk, system.coupling)
+                          system.xtalk, system.coupling, system.drive2)
     return np.asarray(stds), np.asarray(mean), np.asarray(se)

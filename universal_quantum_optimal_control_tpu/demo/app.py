@@ -60,6 +60,88 @@ MODEL_VARIANTS: Dict[str, Dict] = {
 }
 
 
+# Two-qubit demo variants (VERDICT r2 item 6: serve the SU(4) artifacts).
+# "model" variants run the shipped universal TwoQubitQOCTransformer on a
+# named gate; "pulse" variants render a shipped single-target pulse table.
+TWO_QUBIT_VARIANTS: Dict[str, Dict] = {
+    "two_qubit_d512": {"checkpoint": str(_WEIGHTS_DIR / "two_qubit_d512.npz")},
+    "cz_robust": {"pulse_npz": str(_WEIGHTS_DIR / "cz_robust_pulse.npz")},
+    # the dephasing-bound falsification pulse (direct drive on qubit 2)
+    "cz_drive2": {"pulse_npz": str(_WEIGHTS_DIR / "cz_drive2_pulse.npz"),
+                  "drive2": True},
+}
+
+_PULSE_COLS = {2: ["phi", "tau"], 3: ["phi", "omega", "tau"],
+               4: ["phi1", "phi2", "omega", "tau"]}
+
+
+def render_two_qubit_artifacts(variant: str, gate: str, out_dir: str,
+                               monte_carlo: int = 2000,
+                               n_delta: int = 61) -> Dict[str, str]:
+    """Render the SU(4) artifact set: pulse CSV, F(δ₁, δ₂) contour surface,
+    E[F](σ_δ) sweep (``analysis/plots_su4.py``).  Returns file paths."""
+    import csv
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..analysis.plots_su4 import (
+        fidelity_by_std_su4,
+        fidelity_contour_plot_su4,
+    )
+    from ..core import su4
+    from ..training.systems import SU4System
+
+    spec = TWO_QUBIT_VARIANTS[variant]
+    system = su4.TwoQubitSystem(drive2=spec.get("drive2", False))
+    if "pulse_npz" in spec:
+        data = np.load(spec["pulse_npz"])
+        pulses, u_target = data["pulses"], data["u_target"]
+        label = variant
+    else:
+        from ..optimizers.two_qubit_grape import named_two_qubit_targets
+        from ..workloads.two_qubit_eval import model_gate_pulses
+
+        targets = named_two_qubit_targets()
+        if gate not in targets:
+            raise ValueError(f"unknown gate {gate!r}; "
+                             f"available: {sorted(targets)}")
+        u_target = targets[gate]
+        packed = SU4System.pack_target(u_target[None])
+        pulses = np.asarray(
+            model_gate_pulses(spec["checkpoint"], packed)[0])
+        label = f"{variant}:{gate}"
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    paths = {"csv": str(out / "pulses.csv")}
+    with open(paths["csv"], "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(_PULSE_COLS[pulses.shape[-1]])
+        w.writerows(np.asarray(pulses).tolist())
+
+    paths["contour"] = str(out / "contour_d1d2.png")
+    fidelity_contour_plot_su4(pulses, u_target, system,
+                              save_path=paths["contour"], title=label,
+                              n_delta=n_delta)
+
+    stds, mean, se = fidelity_by_std_su4(
+        pulses, u_target, system, stds=np.arange(0.02, 0.42, 0.02),
+        monte_carlo=monte_carlo)
+    paths["fidelity"] = str(out / "fid_by_std.png")
+    fig, ax = plt.subplots(figsize=(6.0, 4.0))
+    ax.errorbar(stds, mean, yerr=se, lw=1.2)
+    ax.set_xlabel(r"$\sigma_\delta$ (both qubits)")
+    ax.set_ylabel("E[F]")
+    ax.set_title(f"{label}  two-qubit robustness")
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(paths["fidelity"], dpi=120)
+    plt.close(fig)
+    return paths
+
+
 @functools.lru_cache(maxsize=4)
 def load_pipeline(variant: str, checkpoint: Optional[str] = None,
                   random_init: bool = False) -> Pipeline:
@@ -222,7 +304,21 @@ def main(argv=None) -> None:
     p.add_argument("--no-video", action="store_true")
     p.add_argument("--serve", action="store_true",
                    help="launch the Gradio UI (requires gradio)")
+    p.add_argument("--two_qubit", default=None,
+                   choices=list(TWO_QUBIT_VARIANTS),
+                   help="render SU(4) artifacts for a two-qubit variant "
+                        "instead of the single-qubit set")
+    p.add_argument("--gate", default="cz",
+                   help="named two-qubit gate for --two_qubit model variants")
     args = p.parse_args(argv)
+
+    if args.two_qubit:
+        paths = render_two_qubit_artifacts(
+            args.two_qubit, args.gate, args.out,
+            monte_carlo=min(args.monte_carlo, 4096))
+        for k, v in paths.items():
+            print(f"{k}: {v}")
+        return
 
     if args.serve:
         try:

@@ -50,6 +50,12 @@ import os as _os
 # per-process via UQOC_SINCOS.
 DEFAULT_SINCOS = _os.environ.get("UQOC_SINCOS", "poly")
 
+# segment composition schedule: "serial" (carry <- q_k ∘ carry) or "paired"
+# (carry <- (q_{k+1} ∘ q_k) ∘ carry — halves the carry-chain length, same op
+# count).  Measured equivalent on v5e (benchmarks/su2_fwd_levers.py): the
+# (rows, 128) tile already provides 64 vregs of ILP per instruction.
+DEFAULT_SCHEDULE = _os.environ.get("UQOC_SCHEDULE", "serial")
+
 
 def _interpret() -> bool:
     """Run the kernel in interpreter mode off-TPU (CPU backend) so the
@@ -71,31 +77,42 @@ _S1, _S2, _S3, _S4 = (-1.66666567e-01, 8.33301032e-03,
 _C1, _C2, _C3, _C4 = (-4.99999303e-01, 4.16639475e-02,
                       -1.38556582e-03, 2.31890375e-05)
 
+# One-term-shorter pair for the throughput-lever experiment
+# (benchmarks/su2_fwd_levers.py): sin deg 7 (max err 1.35e-6), cos deg 6
+# (8.2e-6) — combined error still under the 1e-5 vs-libm contract, two fewer
+# FMAs per segment.  Selected by sincos="poly_fast" / UQOC_SINCOS=poly_fast.
+_F1, _F2, _F3 = (-1.66659260e-01, 8.31521997e-03, -1.85700483e-04)
+_G1, _G2, _G3 = (-4.99933990e-01, 4.15051200e-02, -1.27522438e-03)
 
-def _sincos_core(x):
+
+def _sincos_core(x, fast=False):
     """Cody–Waite reduction + shared-r² minimax polys.  Returns
     (sin r, cos r, k): the true values are ``(-1)^k · (sin r, cos r)``."""
     k = jnp.round(x * _INV_PI)
     r = (x - k * _PI_HI) - k * _PI_LO          # r ∈ [-π/2, π/2]
     r2 = r * r
-    s = r * (1.0 + r2 * (_S1 + r2 * (_S2 + r2 * (_S3 + r2 * _S4))))
-    c = 1.0 + r2 * (_C1 + r2 * (_C2 + r2 * (_C3 + r2 * _C4)))
+    if fast:
+        s = r * (1.0 + r2 * (_F1 + r2 * (_F2 + r2 * _F3)))
+        c = 1.0 + r2 * (_G1 + r2 * (_G2 + r2 * _G3))
+    else:
+        s = r * (1.0 + r2 * (_S1 + r2 * (_S2 + r2 * (_S3 + r2 * _S4))))
+        c = 1.0 + r2 * (_C1 + r2 * (_C2 + r2 * (_C3 + r2 * _C4)))
     return s, c, k
 
 
-def _sincos_poly(x):
+def _sincos_poly(x, fast=False):
     """Fused sin+cos: one-step Cody–Waite reduction to |r| ≤ π/2 + shared-x²
     minimax polys (sin deg 9, cos deg 8) — ~17 VPU ops for BOTH values vs
     two full-range libm transcendentals.  Max abs error < 1e-6 on all of ℝ
     reachable here (|x| ≲ 10³; the segment angle is |τ·½(1+ε)√(1+δ²)|).
     """
-    s, c, k = _sincos_core(x)
+    s, c, k = _sincos_core(x, fast)
     # parity: sin/cos(x) = (-1)^k · sin/cos(r)
     sign = 1.0 - 2.0 * (k - 2.0 * jnp.floor(k * 0.5))
     return s * sign, c * sign
 
 
-def _sincos_poly_ns(x):
+def _sincos_poly_ns(x, fast=False):
     """Sign-free half-angle sincos for the FIDELITY/VJP kernels only.
 
     Returns ``±(sin x, cos x)`` with a consistent but unresolved parity
@@ -106,11 +123,22 @@ def _sincos_poly_ns(x):
     derivatives are exact.  Saves the ~6 parity ops per segment.  NOT valid
     for :func:`propagate_mc_pallas` (quaternions leave the kernel) or for
     the drive-phase φ (an axis flip is not a global quaternion sign)."""
-    s, c, _ = _sincos_core(x)
+    s, c, _ = _sincos_core(x, fast)
     return s, c
 
 
-def _segment_loop(pulse_refs, b, delta, eps, L, sincos="native"):
+def _hamilton(p, q):
+    """(pw,px,py,pz) ∘ (qw,qx,qy,qz) — 16 FMA-class VPU ops."""
+    pw, px, py, pz = p
+    qw, qx, qy, qz = q
+    return (pw * qw - px * qx - py * qy - pz * qz,
+            pw * qx + px * qw + py * qz - pz * qy,
+            pw * qy + py * qw + pz * qx - px * qz,
+            pw * qz + pz * qw + px * qy - py * qx)
+
+
+def _segment_loop(pulse_refs, b, delta, eps, L, sincos="native",
+                  schedule="serial"):
     """Shared kernel body: compose L segments over a (rows, 128) sample tile.
 
     ``pulse_refs`` holds the FULL (B, L) pulse tables in SMEM (they are tiny)
@@ -120,8 +148,14 @@ def _segment_loop(pulse_refs, b, delta, eps, L, sincos="native"):
     ``b`` is the target index for this grid step.  delta/eps are (rows, 128)
     sample arrays.  Returns the 4 quaternion components.
 
-    ``sincos``: "native" (libm sin/cos) or "poly" (fused reduced-range
-    polynomial — see :func:`_sincos_poly`).
+    ``sincos``: "native" (libm sin/cos), "poly" (fused reduced-range minimax
+    — see :func:`_sincos_poly`), "poly_fast" (one r² term shorter, ~1e-5
+    max err), or the ``*_ns`` sign-free variants (fidelity/VJP path only).
+    ``schedule``: "serial" folds each segment into the carry (L dependent
+    Hamilton products); "paired" builds q_{k+1}∘q_k first and folds pairs
+    (same op count, carry-chain length L/2 — an ILP lever; measured
+    equivalent on v5e where the (rows, 128) tile already fills the VPU
+    pipeline, see benchmarks/su2_fwd_levers.py).
     """
     amp = len(pulse_refs) == 3
     if amp:
@@ -136,12 +170,10 @@ def _segment_loop(pulse_refs, b, delta, eps, L, sincos="native"):
         inv_anorm = 1.0 / anorm
         scale = 0.5 * (1.0 + eps) * anorm  # tau multiplier per sample
 
-    qw = jnp.ones_like(delta)
-    qx = jnp.zeros_like(delta)
-    qy = jnp.zeros_like(delta)
-    qz = jnp.zeros_like(delta)
+    fast = sincos.startswith("poly_fast")
 
-    for k in range(L):  # static unroll: L is a compile-time constant
+    def segment(k):
+        nonlocal inv_anorm
         phi = pulse_refs[0][b, k]
         tau = pulse_refs[-1][b, k]
         if amp:
@@ -153,11 +185,11 @@ def _segment_loop(pulse_refs, b, delta, eps, L, sincos="native"):
         else:
             om = 1.0
             half = tau * scale
-        if sincos == "poly_ns":      # fidelity/VJP path: sign-free (F even)
-            sh, w = _sincos_poly_ns(half)
+        if sincos.endswith("_ns"):   # fidelity/VJP path: sign-free (F even)
+            sh, w = _sincos_poly_ns(half, fast)
             s = sh * inv_anorm
-        elif sincos == "poly":
-            sh, w = _sincos_poly(half)
+        elif sincos.startswith("poly"):
+            sh, w = _sincos_poly(half, fast)
             s = sh * inv_anorm
         else:
             w = jnp.cos(half)
@@ -165,35 +197,42 @@ def _segment_loop(pulse_refs, b, delta, eps, L, sincos="native"):
         x = s * (om * jnp.cos(phi))
         y = s * (om * jnp.sin(phi))
         z = s * delta
-        # carry <- q_k * carry  (Hamilton product)
-        nw = w * qw - x * qx - y * qy - z * qz
-        nx = w * qx + x * qw + y * qz - z * qy
-        ny = w * qy + y * qw + z * qx - x * qz
-        nz = w * qz + z * qw + x * qy - y * qx
-        qw, qx, qy, qz = nw, nx, ny, nz
-    return qw, qx, qy, qz
+        return w, x, y, z
+
+    q = (jnp.ones_like(delta), jnp.zeros_like(delta),
+         jnp.zeros_like(delta), jnp.zeros_like(delta))
+
+    if schedule == "paired":
+        for k in range(0, L - 1, 2):  # carry <- (q_{k+1} ∘ q_k) ∘ carry
+            q = _hamilton(_hamilton(segment(k + 1), segment(k)), q)
+        if L % 2:
+            q = _hamilton(segment(L - 1), q)
+    else:
+        for k in range(L):  # static unroll: L is a compile-time constant
+            q = _hamilton(segment(k), q)  # carry <- q_k ∘ carry
+    return q
 
 
-def _prop_kernel(*refs, L, sincos):
+def _prop_kernel(*refs, L, sincos, schedule="serial"):
     *pulse_refs, delta_ref, eps_ref, out_ref = refs
     b = pl.program_id(0)
     delta = delta_ref[0]
     eps = eps_ref[0]
     qw, qx, qy, qz = _segment_loop(tuple(pulse_refs), b, delta, eps, L,
-                                   sincos=sincos)
+                                   sincos=sincos, schedule=schedule)
     out_ref[0, 0] = qw
     out_ref[0, 1] = qx
     out_ref[0, 2] = qy
     out_ref[0, 3] = qz
 
 
-def _fid_kernel(*refs, L, M_valid, tr, sincos):
+def _fid_kernel(*refs, L, M_valid, tr, sincos, schedule="serial"):
     *pulse_refs, qt_ref, delta_ref, eps_ref, sum_ref = refs
     b = pl.program_id(0)
     delta = delta_ref[0]
     eps = eps_ref[0]
     qw, qx, qy, qz = _segment_loop(tuple(pulse_refs), b, delta, eps, L,
-                                   sincos=sincos)
+                                   sincos=sincos, schedule=schedule)
     # entanglement fidelity from quaternion inner product:
     # F = (4<q, qt>^2 + 2) / 6  (SCORE.py:168-183 in quaternion form)
     inner = (qt_ref[b, 0] * qw + qt_ref[b, 1] * qx
@@ -265,15 +304,17 @@ def _pulse_columns(pulses):
     return tuple(pulses[..., i] for i in range(P))
 
 
-@functools.partial(jax.jit, static_argnames=("tile_rows", "sincos"))
+@functools.partial(jax.jit,
+                   static_argnames=("tile_rows", "sincos", "schedule"))
 def _propagate_mc_pallas_raw(pulses, delta, eps, tile_rows=_DEF_ROWS,
-                             sincos=None):
+                             sincos=None, schedule=None):
     """(B, L, P) pulses × (B, M) disorder → (B, M, 4) quaternions, P ∈ {2,3}.
 
     M need not be a lane multiple: the MC axis is zero-padded up to one and
     the padded rows are sliced off the result (exact)."""
     B, L, _ = pulses.shape
     sincos = sincos if sincos is not None else DEFAULT_SINCOS
+    schedule = schedule if schedule is not None else DEFAULT_SCHEDULE
     cols = _pulse_columns(pulses)
     delta, eps, M_orig = _pad_mc(delta, eps)
     M = delta.shape[1]
@@ -284,7 +325,8 @@ def _propagate_mc_pallas_raw(pulses, delta, eps, tile_rows=_DEF_ROWS,
     smem_spec = pl.BlockSpec((B, L), lambda b, j: (0, 0),
                              memory_space=pltpu.SMEM)
     out = pl.pallas_call(
-        functools.partial(_prop_kernel, L=L, sincos=sincos),
+        functools.partial(_prop_kernel, L=L, sincos=sincos,
+                          schedule=schedule),
         grid=(B, ntiles),
         in_specs=[
             # full (B, L) pulse tables live in SMEM (tiny); indexed by program_id
@@ -333,15 +375,17 @@ def _bwd(res, g):
 propagate_mc_pallas.defvjp(_fwd, _bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_rows", "sincos"))
+@functools.partial(jax.jit,
+                   static_argnames=("tile_rows", "sincos", "schedule"))
 def _mean_fid_raw(pulses, q_target, delta, eps, tile_rows=_DEF_ROWS,
-                  sincos=None):
+                  sincos=None, schedule=None):
     B, L, _ = pulses.shape
     sincos = sincos if sincos is not None else DEFAULT_SINCOS
-    if sincos == "poly":
+    schedule = schedule if schedule is not None else DEFAULT_SCHEDULE
+    if sincos in ("poly", "poly_fast"):
         # fidelity is even in the quaternion sign → the parity ops of the
         # half-angle sincos can be dropped (see _sincos_poly_ns)
-        sincos = "poly_ns"
+        sincos = sincos + "_ns"
     cols = _pulse_columns(pulses)
     delta, eps, M_orig = _pad_mc(delta, eps)
     M = delta.shape[1]
@@ -354,7 +398,7 @@ def _mean_fid_raw(pulses, q_target, delta, eps, tile_rows=_DEF_ROWS,
     sums = pl.pallas_call(
         functools.partial(_fid_kernel, L=L,
                           M_valid=(M_orig if M_orig != M else None), tr=tr,
-                          sincos=sincos),
+                          sincos=sincos, schedule=schedule),
         grid=(B, ntiles),
         in_specs=[
             *([smem_spec] * len(cols)),
@@ -412,7 +456,8 @@ def _mf_bwd(res, g):
     # rebuilds its prefix products from the SAME ±q parametrization, so
     # every parity sign cancels in the returned cotangents (d_qt is a
     # (scale·q) product — also invariant).
-    ns = "poly_ns" if DEFAULT_SINCOS == "poly" else DEFAULT_SINCOS
+    ns = (DEFAULT_SINCOS + "_ns"
+          if DEFAULT_SINCOS in ("poly", "poly_fast") else DEFAULT_SINCOS)
     q = _propagate_mc_pallas_raw(pulses, delta, eps, sincos=ns)  # (B, M, 4)
     inner = jnp.sum(q * q_target[:, None, :], axis=-1)      # ⟨q, qt⟩
     # F_b = mean_m (4·inner² + 2)/6  ⇒  dF_b/dq = (8/6)·inner·qt / M

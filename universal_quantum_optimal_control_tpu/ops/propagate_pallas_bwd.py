@@ -39,8 +39,10 @@ from .propagate_pallas import (
 
 
 def _sincos(x, sincos):
-    if sincos == "poly":
-        return _sincos_poly(x)
+    if sincos in ("poly", "poly_fast"):
+        return _sincos_poly(x, fast=(sincos == "poly_fast"))
+    if sincos == "poly_fast_ns":
+        return _sincos_poly_ns(x, fast=True)
     if sincos == "poly_ns":
         # sign-free HALF-ANGLE variant: valid only when the whole
         # fwd-value + bwd chain uses it consistently (the fidelity seed is
@@ -113,7 +115,7 @@ def _bwd_kernel(*refs, L, amp, sincos="native"):
         tau = tau_ref[b, k]
         # φ keeps its parity sign: an axis flip is NOT a global
         # quaternion sign (only the half-angle may go sign-free)
-        sphi, cphi = _sincos(phi, "poly" if sincos == "poly_ns"
+        sphi, cphi = _sincos(phi, sincos[:-3] if sincos.endswith("_ns")
                              else sincos)
         if amp:
             om_raw = om_ref[b, k]

@@ -29,11 +29,16 @@ def build_targets(key: jax.Array, n: int,
                   system: su4.TwoQubitSystem) -> jax.Array:
     """Reachable entangling targets: zero-disorder propagations of random
     pulse sequences (guaranteed inside the system's reachable set), packed
-    ``(n, 2, 4, 4)``."""
-    k1, k2 = jax.random.split(key)
-    pulses = jnp.stack([
-        jax.random.uniform(k1, (n, 24), minval=-np.pi, maxval=np.pi),
-        jax.random.uniform(k2, (n, 24), minval=0.1, maxval=0.5)], axis=-1)
+    ``(n, 2, 4, 4)``.  On the ``drive2`` system the random sequences use its
+    4-parameter (φ₁, φ₂, Ω, τ) space."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    cols = [jax.random.uniform(k1, (n, 24), minval=-np.pi, maxval=np.pi)]
+    if system.drive2:
+        cols.append(jax.random.uniform(k3, (n, 24), minval=-np.pi,
+                                       maxval=np.pi))
+        cols.append(jax.random.uniform(k4, (n, 24), minval=0.0, maxval=1.0))
+    cols.append(jax.random.uniform(k2, (n, 24), minval=0.1, maxval=0.5))
+    pulses = jnp.stack(cols, axis=-1)
     Ur, Ui = su4.propagate_su4(pulses, jnp.zeros(n), jnp.zeros(n),
                                jnp.zeros(n), system)
     return jnp.stack([Ur, Ui], axis=1)
@@ -83,6 +88,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="objective path: autodiff through the SoA scan, or "
                         "the fused Pallas forward + reverse-sweep VJP "
                         "kernels")
+    p.add_argument("--drive2", action="store_true",
+                   help="system variant: direct drive line on qubit 2 with "
+                        "symmetric cross-talk and 4-parameter (phi1, phi2, "
+                        "Omega, tau) pulses — delta2 becomes refocusable, "
+                        "lifting the chi-cross-talk robustness ceiling "
+                        "(docs/two_qubit_results.md §Falsification); "
+                        "XLA backend only")
     p.add_argument("--kak_features", action="store_true",
                    help="append a token with the target's Makhlin/KAK local "
                         "invariants (the SU(4) analog of the SCORE "
@@ -97,13 +109,20 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    if args.drive2 and args.backend != "xla":
+        raise SystemExit("--drive2 requires --backend xla (the fused SU(4) "
+                         "kernels implement the cross-talk-only drive)")
     system = SU4System(xtalk=args.xtalk, coupling=args.coupling,
-                       backend=args.backend)
+                       backend=args.backend, drive2=args.drive2)
 
     space = {"phi": (-3.15, 3.15), "tau": (0.1, 0.5)}
     if args.pulse_params == 3:
         space = {"phi": (-3.15, 3.15), "omega": (0.0, 1.0),
                  "tau": (0.1, 0.5)}
+    if args.drive2:
+        # the drive2 system's declared 4-parameter space (core/su4.py)
+        space = {"phi1": (-3.15, 3.15), "phi2": (-3.15, 3.15),
+                 "omega": (0.0, 1.0), "tau": (0.1, 0.5)}
     model = TwoQubitQOCTransformer(
         pulse_space=normalize_pulse_space(space),
         max_pulses=args.max_pulses, d_model=args.d_model,
@@ -129,8 +148,21 @@ def main(argv=None) -> None:
 
     params = trainer.init_params(train_t[:2])
     if args.pretrained_single_qubit:
-        base_dir, tag = args.pretrained_single_qubit.rsplit(":", 1)
-        single_params, _ = restore_checkpoint(base_dir, tag)
+        if args.pretrained_single_qubit.endswith(".npz"):
+            # a shipped single-qubit artifact (e.g. demo/weights/length100.npz)
+            from ..models import UniversalQOCTransformer
+            from ..models.serialization import load_params_npz
+
+            single = UniversalQOCTransformer(
+                max_pulses=100, d_model=args.d_model, n_layers=args.n_layers,
+                n_heads=args.n_heads, dtype=jnp.float32)
+            rv = jnp.asarray([[1.0, 0.0, 0.0, np.pi]], jnp.float32)
+            template = single.init(jax.random.PRNGKey(0), rv)
+            single_params = load_params_npz(args.pretrained_single_qubit,
+                                            template)
+        else:
+            base_dir, tag = args.pretrained_single_qubit.rsplit(":", 1)
+            single_params, _ = restore_checkpoint(base_dir, tag)
         params = transfer_encoder_params(single_params, params)
         print(f"transferred encoder from {args.pretrained_single_qubit}")
 
