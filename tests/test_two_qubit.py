@@ -304,3 +304,74 @@ def test_two_qubit_model_kak_features_shapes_and_grads():
 
     g = jax.grad(loss)(params)
     assert all(jnp.all(jnp.isfinite(x)) for x in jax.tree_util.tree_leaves(g))
+
+
+# ---------------------------------------------------------------------------
+# SU(4) target construction (data/su4_targets.py)
+# ---------------------------------------------------------------------------
+
+
+def test_kak_targets_are_su4_and_hit_edge_classes():
+    """KAK-constructed targets are exact SU(4) elements, and the Cartan
+    core at c=(pi/4,0,0) is locally equivalent to CZ (same Makhlin
+    invariants) — the edge class random products never cover."""
+    from universal_quantum_optimal_control_tpu.data.su4_targets import (
+        _cartan_exp,
+        kak_targets,
+    )
+
+    rng = np.random.default_rng(5)
+    U = kak_targets(rng, 16)
+    eye = np.eye(4)
+    for u in U:
+        np.testing.assert_allclose(u @ u.conj().T, eye, atol=1e-10)
+        assert abs(np.linalg.det(u) - 1.0) < 1e-10
+
+    core_cz = _cartan_exp(np.array([[np.pi / 4, 0.0, 0.0]]))[0]
+    np.testing.assert_allclose(_makhlin_oracle(core_cz),
+                               _makhlin_oracle(np.asarray(CZ, complex)),
+                               atol=1e-10)
+    core_iswap = _cartan_exp(np.array([[np.pi / 4, np.pi / 4, 0.0]]))[0]
+    iswap = np.array([[1, 0, 0, 0], [0, 0, 1j, 0],
+                      [0, 1j, 0, 0], [0, 0, 0, 1]], complex)
+    np.testing.assert_allclose(_makhlin_oracle(core_iswap),
+                               _makhlin_oracle(iswap), atol=1e-10)
+
+
+def test_z4_representatives_are_su4_and_phase_equivalent():
+    from universal_quantum_optimal_control_tpu.data.su4_targets import (
+        z4_representatives,
+    )
+
+    reps = z4_representatives(np.asarray(CZ, complex))  # det(CZ) = -1
+    assert reps.shape == (4, 4, 4)
+    for r in reps:
+        assert abs(np.linalg.det(r) - 1.0) < 1e-10
+        # same physical gate: |Tr(CZ^dag r)|^2 = 16
+        assert abs(abs(np.trace(np.asarray(CZ).conj().T @ r)) - 4.0) < 1e-10
+    # the four representatives are distinct matrices
+    assert len({np.round(r[0, 0], 6) for r in reps}) == 4
+
+
+def test_build_targets_modes_and_phase_augment():
+    from universal_quantum_optimal_control_tpu.workloads.two_qubit import (
+        build_targets,
+    )
+
+    system = su4.TwoQubitSystem()
+    key = jax.random.PRNGKey(0)
+    for mode in ("products", "kak", "mixed"):
+        t = build_targets(key, 4, system, mode=mode)
+        assert t.shape == (4, 2, 4, 4)
+        U = np.asarray(t[:, 0]) + 1j * np.asarray(t[:, 1])
+        for u in U:
+            # product targets are f32 order-8 expm propagations (~1e-5)
+            np.testing.assert_allclose(u @ u.conj().T, np.eye(4), atol=5e-5)
+    ta = build_targets(key, 4, system, mode="kak", phase_augment=True)
+    tb = build_targets(key, 4, system, mode="kak", phase_augment=False)
+    Ua = np.asarray(ta[:, 0]) + 1j * np.asarray(ta[:, 1])
+    Ub = np.asarray(tb[:, 0]) + 1j * np.asarray(tb[:, 1])
+    # same gates up to phase, different matrices
+    for a, b in zip(Ua, Ub):
+        assert abs(abs(np.trace(a.conj().T @ b)) - 4.0) < 1e-4
+    assert not np.allclose(Ua, Ub, atol=1e-3)

@@ -26,22 +26,52 @@ from ..training.systems import SU4System
 
 
 def build_targets(key: jax.Array, n: int,
-                  system: su4.TwoQubitSystem) -> jax.Array:
-    """Reachable entangling targets: zero-disorder propagations of random
-    pulse sequences (guaranteed inside the system's reachable set), packed
-    ``(n, 2, 4, 4)``.  On the ``drive2`` system the random sequences use its
-    4-parameter (φ₁, φ₂, Ω, τ) space."""
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    cols = [jax.random.uniform(k1, (n, 24), minval=-np.pi, maxval=np.pi)]
-    if system.drive2:
-        cols.append(jax.random.uniform(k3, (n, 24), minval=-np.pi,
-                                       maxval=np.pi))
-        cols.append(jax.random.uniform(k4, (n, 24), minval=0.0, maxval=1.0))
-    cols.append(jax.random.uniform(k2, (n, 24), minval=0.1, maxval=0.5))
-    pulses = jnp.stack(cols, axis=-1)
-    Ur, Ui = su4.propagate_su4(pulses, jnp.zeros(n), jnp.zeros(n),
-                               jnp.zeros(n), system)
-    return jnp.stack([Ur, Ui], axis=1)
+                  system: su4.TwoQubitSystem, mode: str = "products",
+                  phase_augment: bool = False) -> jax.Array:
+    """Entangling targets packed ``(n, 2, 4, 4)``.
+
+    ``mode="products"``: zero-disorder propagations of random pulse
+    sequences (guaranteed inside the system's reachable set; on the
+    ``drive2`` system the sequences use its 4-parameter space).
+    ``mode="kak"``: Weyl-chamber-box KAK constructions
+    (:func:`..data.su4_targets.kak_targets`) — covers the CZ/CNOT/iSWAP
+    edge classes that random products essentially never visit.
+    ``mode="mixed"``: half and half.
+    ``phase_augment``: multiply every target by a random global phase —
+    physics-neutral, teaches the featurization phase invariance (the
+    measured failure mode of the products-only round-2 model on textbook
+    gates; docs/two_qubit_results.md §Named-gate coverage).
+    """
+    if mode not in ("products", "kak", "mixed"):
+        raise ValueError(f"unknown target mode {mode!r}")
+    rng = np.random.default_rng(
+        int(jax.random.randint(key, (), 0, 2**31 - 1)))
+    n_kak = {"products": 0, "kak": n, "mixed": n // 2}[mode]
+
+    parts = []
+    if n - n_kak > 0:
+        m = n - n_kak
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        cols = [jax.random.uniform(k1, (m, 24), minval=-np.pi, maxval=np.pi)]
+        if system.drive2:
+            cols.append(jax.random.uniform(k3, (m, 24), minval=-np.pi,
+                                           maxval=np.pi))
+            cols.append(jax.random.uniform(k4, (m, 24), minval=0.0,
+                                           maxval=1.0))
+        cols.append(jax.random.uniform(k2, (m, 24), minval=0.1, maxval=0.5))
+        pulses = jnp.stack(cols, axis=-1)
+        Ur, Ui = su4.propagate_su4(pulses, jnp.zeros(m), jnp.zeros(m),
+                                   jnp.zeros(m), system)
+        parts.append(np.asarray(Ur) + 1j * np.asarray(Ui))
+    if n_kak > 0:
+        from ..data.su4_targets import kak_targets
+        parts.append(kak_targets(rng, n_kak))
+
+    U = np.concatenate(parts, axis=0)
+    if phase_augment:
+        from ..data.su4_targets import random_global_phase
+        U = random_global_phase(rng, U)
+    return SU4System.pack_target(U)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -88,6 +118,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="objective path: autodiff through the SoA scan, or "
                         "the fused Pallas forward + reverse-sweep VJP "
                         "kernels")
+    p.add_argument("--target_mode", default="products",
+                   choices=["products", "kak", "mixed"],
+                   help="training-target distribution: random reachable "
+                        "pulse products, Weyl-chamber KAK constructions "
+                        "(cover the CZ/CNOT/iSWAP edge classes), or half "
+                        "each (data/su4_targets.py)")
+    p.add_argument("--phase_augment", action="store_true",
+                   help="random global phase on every target — teaches the "
+                        "raw-matrix featurization the phase invariance the "
+                        "fidelity already has")
     p.add_argument("--drive2", action="store_true",
                    help="system variant: direct drive line on qubit 2 with "
                         "symmetric cross-talk and 4-parameter (phi1, phi2, "
@@ -133,8 +173,12 @@ def main(argv=None) -> None:
 
     key = jax.random.PRNGKey(args.seed)
     k1, k2 = jax.random.split(key)
-    train_t = build_targets(k1, args.train_size, system.system)
-    eval_t = build_targets(k2, args.eval_size, system.system)
+    train_t = build_targets(k1, args.train_size, system.system,
+                            mode=args.target_mode,
+                            phase_augment=args.phase_augment)
+    eval_t = build_targets(k2, args.eval_size, system.system,
+                           mode=args.target_mode,
+                           phase_augment=args.phase_augment)
 
     cfg = TrainConfig(
         monte_carlo=args.monte_carlo, batch_size=args.batch_size,

@@ -41,16 +41,45 @@ DEFAULT_CKPT = str(_WEIGHTS / "two_qubit_d512.npz")
 
 def model_gate_pulses(checkpoint: str, targets_packed: jax.Array,
                       *, max_pulses: int = 40, d_model: int = 512,
-                      n_layers: int = 8, n_heads: int = 16) -> jax.Array:
+                      n_layers: int = 8, n_heads: int = 16,
+                      drive2: bool = False,
+                      kak_features: bool = False) -> jax.Array:
     """Run the universal two-qubit model on packed ``(G, 2, 4, 4)`` targets."""
+    space = {"phi": (-3.15, 3.15), "tau": (0.1, 0.5)}
+    if drive2:
+        space = {"phi1": (-3.15, 3.15), "phi2": (-3.15, 3.15),
+                 "omega": (0.0, 1.0), "tau": (0.1, 0.5)}
     model = TwoQubitQOCTransformer(
-        pulse_space=normalize_pulse_space({"phi": (-3.15, 3.15),
-                                           "tau": (0.1, 0.5)}),
+        pulse_space=normalize_pulse_space(space),
         max_pulses=max_pulses, d_model=d_model, n_layers=n_layers,
-        n_heads=n_heads, dtype=jnp.float32)
+        n_heads=n_heads, dtype=jnp.float32, kak_features=kak_features)
     params = load_params_npz(
         checkpoint, model.init(jax.random.PRNGKey(0), targets_packed))
     return model.apply(params, targets_packed)
+
+
+def best_phase_pulses(checkpoint: str, U: np.ndarray,
+                      system: SU4System, **model_kw) -> jax.Array:
+    """Inference-time global-phase canonicalization: run the model on all 4
+    SU(4) ℤ₄ representatives of each gate, keep the pulse table whose exact
+    σ = 0 fidelity is best.  Fidelity is phase-invariant; the raw-matrix
+    featurization is not — measured on the round-2 products-only model this
+    lifts zz(π/4) from 0.267 to 0.9992 (docs/two_qubit_results.md).
+
+    ``(G, 4, 4)`` complex → ``(G, L, P)`` pulses."""
+    from ..data.su4_targets import z4_representatives
+
+    reps = np.stack([z4_representatives(u) for u in U])   # (G, 4, 4, 4)
+    G = reps.shape[0]
+    packed = SU4System.pack_target(reps.reshape(G * 4, 4, 4))
+    pulses = model_gate_pulses(checkpoint, packed, **model_kw)
+    z = jnp.zeros(G * 4)
+    Ur, Ui = su4.propagate_su4(pulses, z, z, z, system.system)
+    F = su4.fidelity_su4_ri(Ur, Ui, packed[:, 0], packed[:, 1])
+    best = jnp.argmax(F.reshape(G, 4), axis=1)            # (G,)
+    return jnp.take_along_axis(
+        pulses.reshape(G, 4, *pulses.shape[1:]),
+        best[:, None, None, None], axis=1)[:, 0]
 
 
 def eval_pulse_tables(pulses: jax.Array, targets_packed: jax.Array,
@@ -105,22 +134,39 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the markdown table here as well")
     p.add_argument("--save_pulses", default=None,
                    help="write per-gate model pulse tables to this .npz")
+    p.add_argument("--drive2", action="store_true",
+                   help="the checkpoint was trained on the drive2 system "
+                        "(4-parameter pulses); evaluate on it too")
+    p.add_argument("--kak_features", action="store_true",
+                   help="the checkpoint uses the Makhlin/KAK input token")
+    p.add_argument("--best_phase", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="inference-time phase canonicalization: run the "
+                        "model on all 4 SU(4) Z4 representatives per gate "
+                        "and keep the best (fidelity is phase-invariant, "
+                        "the featurization is not).  --no-best_phase "
+                        "evaluates the textbook matrix as written")
     return p
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     sigmas = [float(s) for s in args.sigmas.split(",")]
+    system = SU4System(drive2=args.drive2)
+    model_kw = dict(drive2=args.drive2, kak_features=args.kak_features)
 
     gates = named_two_qubit_targets()
     names = list(gates)
     U = np.stack([gates[g] for g in names])            # (G, 4, 4) complex
     packed = SU4System.pack_target(U)                  # (G, 2, 4, 4)
 
-    pulses = model_gate_pulses(args.checkpoint, packed)
+    if args.best_phase:
+        pulses = best_phase_pulses(args.checkpoint, U, system, **model_kw)
+    else:
+        pulses = model_gate_pulses(args.checkpoint, packed, **model_kw)
     table = eval_pulse_tables(pulses, packed, sigmas,
                               monte_carlo=args.monte_carlo,
-                              epsilon_std=args.epsilon_std)
+                              epsilon_std=args.epsilon_std, system=system)
 
     rows = {}
     for i, g in enumerate(names):
@@ -130,12 +176,13 @@ def main(argv=None) -> None:
         for i, g in enumerate(names):
             cfg = TwoQubitGrapeConfig(
                 mode="blocks", n_starts=args.polish_starts,
-                steps=args.polish_steps,
+                steps=args.polish_steps, drive2=args.drive2,
                 sigmas=tuple(s for s in sigmas if s > 0))
             gp, info = multistart_grape_su4(U[i], cfg)
             tp = eval_pulse_tables(jnp.asarray(gp)[None], packed[i:i + 1],
                                    sigmas, monte_carlo=args.monte_carlo,
-                                   epsilon_std=args.epsilon_std)
+                                   epsilon_std=args.epsilon_std,
+                                   system=system)
             rows[g]["grape"] = [float(v) for v in tp[0]]
             print(f"polished {g}: stages "
                   f"{[round(s['best_fid'], 4) for s in info['stages']]}")
