@@ -70,3 +70,56 @@ def test_su4_pallas_unitarity():
     prod = np.einsum("bmij,bmik->bmjk", U.conj(), U)
     eye = np.broadcast_to(np.eye(4), prod.shape)
     np.testing.assert_allclose(prod, eye, atol=2e-5)
+
+
+def _random_case_drive2(B=2, L=5, M=200, seed=3):
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
+    pulses = jnp.stack([
+        jax.random.uniform(k1, (B, L), minval=-3.1, maxval=3.1),
+        jax.random.uniform(k7, (B, L), minval=-3.1, maxval=3.1),
+        jax.random.uniform(k2, (B, L), minval=0.0, maxval=1.5),
+        jax.random.uniform(k3, (B, L), minval=0.05, maxval=0.6)], -1)
+    d1 = jax.random.normal(k4, (B, M)) * 0.3
+    d2 = jax.random.normal(k5, (B, M)) * 0.3
+    ep = jax.random.normal(k6, (B, M)) * 0.05
+    return pulses, d1, d2, ep
+
+
+def test_su4_pallas_drive2_matches_xla_oracle():
+    """drive2 variant (4-parameter pulses, direct drive on qubit 2 with
+    symmetric cross-talk): SoA kernel == the XLA drive2 path, incl. lane
+    padding."""
+    pulses, d1, d2, ep = _random_case_drive2()
+    sys_ = su4.TwoQubitSystem(xtalk=0.1, coupling=0.5, drive2=True)
+    Ur_x, Ui_x = su4.propagate_su4_mc(pulses, d1, d2, ep, sys_)
+    Ur_p, Ui_p = propagate_su4_mc_pallas(pulses, d1, d2, ep,
+                                         xtalk=0.1, coupling=0.5,
+                                         drive2=True)
+    np.testing.assert_allclose(np.asarray(Ur_p), np.asarray(Ur_x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(Ui_p), np.asarray(Ui_x), atol=2e-5)
+
+
+def test_su4_pallas_drive2_fused_fidelity():
+    pulses, d1, d2, ep = _random_case_drive2(seed=4)
+    sys_ = su4.TwoQubitSystem(drive2=True)
+    tgt = _random_case_drive2(B=2, L=3, M=128, seed=5)[0]
+    TUr, TUi = su4.propagate_su4(tgt, jnp.zeros(2), jnp.zeros(2),
+                                 jnp.zeros(2), sys_)
+    F_p = mean_fidelity_su4_pallas(pulses, TUr, TUi, d1, d2, ep,
+                                   drive2=True)
+    Ur, Ui = su4.propagate_su4_mc(pulses, d1, d2, ep, sys_)
+    F_x = jnp.mean(su4.fidelity_su4_ri(Ur, Ui, TUr[:, None], TUi[:, None]),
+                   axis=1)
+    np.testing.assert_allclose(np.asarray(F_p), np.asarray(F_x), atol=2e-5)
+
+
+def test_su4_pallas_drive2_wrong_param_count_raises():
+    import pytest
+
+    pulses, d1, d2, ep = _random_case(P=3)
+    with pytest.raises(ValueError, match="drive2 expects 4-parameter"):
+        propagate_su4_mc_pallas(pulses, d1, d2, ep, drive2=True)
+    pulses4 = _random_case_drive2()[0]
+    with pytest.raises(ValueError, match="require drive2"):
+        propagate_su4_mc_pallas(pulses4, d1, d2, ep)

@@ -87,7 +87,7 @@ def test_build_A_param_chain_matches_autodiff():
         phi, om, tau, d1, d2, eps)
 
     # manual chain (mirrors _bwd_kernel's segment-gradient block)
-    Ar, Ai, Kr, Ki, (c, s, amp, relu_om, t) = bwd._build_A(
+    Ar, Ai, Kr, Ki, (c, s, amp, relu_om, t, _c2, _s2) = bwd._build_A(
         phi, om, tau, d1, d2, eps, xtalk=xtalk, coupling=coupling,
         scaling=scaling)
     Drm, Dim = _unflat(Dr), _unflat(Di)
@@ -162,6 +162,52 @@ def test_full_vjp_kernel_interpret_matches_xla_autodiff():
         return jnp.mean(bwd.mean_fidelity_su4_trainable(
             p, t_r, t_i, a, b, e, sys_.xtalk, sys_.coupling,
             sys_.expm_scaling))
+
+    def obj_xla(p, a, b, e):
+        Vr, Vi = su4.propagate_su4_mc(p, a, b, e, sys_)
+        F = su4.fidelity_su4_ri(Vr, Vi, t_r[:, None], t_i[:, None])
+        return jnp.mean(jnp.mean(F, axis=1))
+
+    v_p, g_p = jax.value_and_grad(obj_pallas, argnums=(0, 1, 2, 3))(
+        pulses, d1, d2, ep)
+    v_x, g_x = jax.value_and_grad(obj_xla, argnums=(0, 1, 2, 3))(
+        pulses, d1, d2, ep)
+    np.testing.assert_allclose(float(v_p), float(v_x), atol=1e-6)
+    for a, b in zip(g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_drive2_vjp_kernel_interpret_matches_xla_autodiff():
+    """drive2 end-to-end fused VJP (4-parameter pulses incl. the dphi2
+    channel) vs jax.grad through the XLA drive2 objective — interpret mode.
+    Same protocol as the cross-talk-only twin above."""
+    from universal_quantum_optimal_control_tpu.core import su4
+
+    rng = np.random.default_rng(23)
+    B, L, M = 2, 3, 200
+    pulses = jnp.asarray(np.stack(
+        [rng.uniform(-np.pi, np.pi, (B, L)),
+         rng.uniform(-np.pi, np.pi, (B, L)),
+         rng.uniform(0.1, 1.2, (B, L)),
+         rng.uniform(0.1, 0.4, (B, L))], axis=-1).astype(np.float32))
+    d1 = jnp.asarray(rng.normal(0, 0.3, (B, M)).astype(np.float32))
+    d2 = jnp.asarray(rng.normal(0, 0.3, (B, M)).astype(np.float32))
+    ep = jnp.asarray(rng.normal(0, 0.05, (B, M)).astype(np.float32))
+
+    sys_ = su4.TwoQubitSystem(drive2=True)
+    tgt_pulses = jnp.asarray(np.stack(
+        [rng.uniform(-np.pi, np.pi, (B, 4)),
+         rng.uniform(-np.pi, np.pi, (B, 4)),
+         rng.uniform(0.3, 1.0, (B, 4)),
+         rng.uniform(0.1, 0.4, (B, 4))], axis=-1).astype(np.float32))
+    t_r, t_i = su4.propagate_su4(tgt_pulses, jnp.zeros(B), jnp.zeros(B),
+                                 jnp.zeros(B), sys_)
+
+    def obj_pallas(p, a, b, e):
+        return jnp.mean(bwd.mean_fidelity_su4_trainable(
+            p, t_r, t_i, a, b, e, sys_.xtalk, sys_.coupling,
+            sys_.expm_scaling, True))
 
     def obj_xla(p, a, b, e):
         Vr, Vi = su4.propagate_su4_mc(p, a, b, e, sys_)

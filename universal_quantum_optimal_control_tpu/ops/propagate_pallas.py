@@ -40,21 +40,31 @@ from ..core import su2
 __all__ = ["propagate_mc_pallas", "mean_fidelity_pallas"]
 
 LANES = 128
-_DEF_ROWS = 128  # rows per tile (swept on v5e: 128 beats 64/256/512 by 5-20%)
+# rows per tile.  Round-2 sweep (serial schedule): 128 beat 64/256/512 by
+# 5-20%.  Round-3 re-sweep with the paired schedule: 64 wins decisively
+# (2.51e9 → 2.68e9 with poly, → 3.33e9 with poly_fast; see
+# benchmarks/su2_fwd_levers.py) — the shorter tile halves live-register
+# pressure, letting Mosaic overlap the two independent segment builds.
+_DEF_ROWS = 64
 
 import os as _os
 
-# segment sin/cos implementation: "poly" (fused reduced-range polynomial,
-# the default — 2.28e9 vs 1.20e9 props/s on v5e, 1.89x, matches libm to
-# <1e-5; see test_poly_sincos_*) or "native" (libm).  Overridable
-# per-process via UQOC_SINCOS.
+# segment sin/cos implementation: "poly" (fused reduced-range deg-9/8
+# minimax, the default — per-segment error below the f32 rounding floor, so
+# accumulated E[F] error stays ≤6e-7 even at L=400), "poly_fast" (deg-7/6,
+# +24% at tile 64: 2.68e9 → 3.33e9 props/s on v5e; per-segment ~8e-6,
+# accumulating to E[F] error 1.2e-4 @ L=100 / 3.8e-4 @ L=400 at σ_δ=2 —
+# inside the 1e-3 parity budget and below M=10k MC noise, opt in when
+# throughput matters more than the last decade of determinism), or
+# "native" (libm, 1.3e9).  Overridable per-process via UQOC_SINCOS.
 DEFAULT_SINCOS = _os.environ.get("UQOC_SINCOS", "poly")
 
-# segment composition schedule: "serial" (carry <- q_k ∘ carry) or "paired"
-# (carry <- (q_{k+1} ∘ q_k) ∘ carry — halves the carry-chain length, same op
-# count).  Measured equivalent on v5e (benchmarks/su2_fwd_levers.py): the
-# (rows, 128) tile already provides 64 vregs of ILP per instruction.
-DEFAULT_SCHEDULE = _os.environ.get("UQOC_SCHEDULE", "serial")
+# segment composition schedule: "paired" (carry <- (q_{k+1} ∘ q_k) ∘ carry —
+# halves the serial carry-chain length at the same op count; the default
+# after the round-3 sweep: +12% at tile 128, +11% at tile 64, error-neutral
+# — f32 association-order rounding only) or "serial" (carry <- q_k ∘ carry).
+# See benchmarks/su2_fwd_levers.py for the measured grid.
+DEFAULT_SCHEDULE = _os.environ.get("UQOC_SCHEDULE", "paired")
 
 
 def _interpret() -> bool:

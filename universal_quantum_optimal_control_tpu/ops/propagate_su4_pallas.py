@@ -136,8 +136,12 @@ _COUPLINGS = [
 
 
 def _segment_body(phi, omega, tau, d1, d2, eps, ur, ui, *, xtalk, coupling,
-                  scaling):
-    """One segment: build A = −i·H·τ/2^s sparsely, exponentiate, compose."""
+                  scaling, phi2=None):
+    """One segment: build A = −i·H·τ/2^s sparsely, exponentiate, compose.
+
+    ``phi2`` (drive2 variant): second direct drive line on qubit 2 with
+    symmetric cross-talk — G₁ = amp·(e^{−iφ₁} + χe^{−iφ₂}),
+    G₂ = amp·(χe^{−iφ₁} + e^{−iφ₂}) (matches ``su4.su4_hamiltonian``)."""
     c = jnp.cos(phi)
     s = jnp.sin(phi)
     amp = 0.5 * (1.0 + eps) * jnp.maximum(omega, 0.0)
@@ -146,6 +150,13 @@ def _segment_body(phi, omega, tau, d1, d2, eps, ur, ui, *, xtalk, coupling,
             0.5 * (d2 - d1) - coupling, -0.5 * (d1 + d2) + coupling]
     g1r, g1i = amp * c, -amp * s          # amp·e^{-iφ}
     g2r, g2i = xtalk * g1r, xtalk * g1i
+    if phi2 is not None:
+        c2 = jnp.cos(phi2)
+        s2 = jnp.sin(phi2)
+        g2r = g2r + amp * c2
+        g2i = g2i - amp * s2
+        g1r = g1r + xtalk * amp * c2
+        g1i = g1i - xtalk * amp * s2
     t = tau / (2.0 ** scaling)
     # A = −i·H·t ⇒ Ar = Hi·t, Ai = −Hr·t
     zero = jnp.zeros_like(d1)
@@ -162,15 +173,23 @@ def _segment_body(phi, omega, tau, d1, d2, eps, ur, ui, *, xtalk, coupling,
     return _matmul_soa(sr, si, ur, ui)
 
 
-def _propagate_loop(phi_ref, om_ref, tau_ref, b, d1, d2, eps, L, *, xtalk,
+def _propagate_loop(pulse_refs, b, d1, d2, eps, L, *, xtalk,
                     coupling, scaling):
+    """``pulse_refs``: (φ, Ω, τ) SMEM tables, or (φ₁, φ₂, Ω, τ) in drive2
+    mode (4 refs ⇒ drive2)."""
+    drive2 = len(pulse_refs) == 4
+    if drive2:
+        phi_ref, phi2_ref, om_ref, tau_ref = pulse_refs
+    else:
+        phi_ref, om_ref, tau_ref = pulse_refs
     er, ei = _eye_like(d1)
 
     def body(k, carry):
         ur, ui = _unflatten(carry)
         ur, ui = _segment_body(
             phi_ref[b, k], om_ref[b, k], tau_ref[b, k], d1, d2, eps, ur, ui,
-            xtalk=xtalk, coupling=coupling, scaling=scaling)
+            xtalk=xtalk, coupling=coupling, scaling=scaling,
+            phi2=(phi2_ref[b, k] if drive2 else None))
         return _flatten(ur, ui)
 
     flat = jax.lax.fori_loop(0, L, body, _flatten(er, ei))
@@ -188,10 +207,10 @@ def _unflatten(flat):
     return ur, ui
 
 
-def _prop_kernel(phi_ref, om_ref, tau_ref, d1_ref, d2_ref, eps_ref, out_ref,
-                 *, L, xtalk, coupling, scaling):
+def _prop_kernel(*refs, L, xtalk, coupling, scaling):
+    *pulse_refs, d1_ref, d2_ref, eps_ref, out_ref = refs
     b = pl.program_id(0)
-    ur, ui = _propagate_loop(phi_ref, om_ref, tau_ref, b, d1_ref[0],
+    ur, ui = _propagate_loop(tuple(pulse_refs), b, d1_ref[0],
                              d2_ref[0], eps_ref[0], L, xtalk=xtalk,
                              coupling=coupling, scaling=scaling)
     for r in range(4):
@@ -200,12 +219,11 @@ def _prop_kernel(phi_ref, om_ref, tau_ref, d1_ref, d2_ref, eps_ref, out_ref,
             out_ref[0, 16 + 4 * r + c] = ui[r][c]
 
 
-def _fid_kernel(phi_ref, om_ref, tau_ref, tr_ref, ti_ref, d1_ref, d2_ref,
-                eps_ref, sum_ref, *, L, xtalk, coupling, scaling, M_valid,
-                tile_rows):
+def _fid_kernel(*refs, L, xtalk, coupling, scaling, M_valid, tile_rows):
+    *pulse_refs, tr_ref, ti_ref, d1_ref, d2_ref, eps_ref, sum_ref = refs
     b = pl.program_id(0)
     j = pl.program_id(1)
-    ur, ui = _propagate_loop(phi_ref, om_ref, tau_ref, b, d1_ref[0],
+    ur, ui = _propagate_loop(tuple(pulse_refs), b, d1_ref[0],
                              d2_ref[0], eps_ref[0], L, xtalk=xtalk,
                              coupling=coupling, scaling=scaling)
     # Tr(U†T) = Σ_{rc} conj(U)·T; entanglement fidelity (|Tr|² + 4)/20
@@ -232,17 +250,17 @@ def _fid_kernel(phi_ref, om_ref, tau_ref, tr_ref, ti_ref, d1_ref, d2_ref,
     sum_ref[b, 0] += jnp.sum(F)
 
 
-def _fid_prod_kernel(phi_ref, om_ref, tau_ref, tr_ref, ti_ref, d1_ref,
-                     d2_ref, eps_ref, sum_ref, prod_ref, *, L, xtalk,
-                     coupling, scaling, M_valid, tile_rows):
+def _fid_prod_kernel(*refs, L, xtalk, coupling, scaling, M_valid, tile_rows):
     """`_fid_kernel` that ALSO writes the per-sample product U to HBM.
 
     The product is the forward's own final carry — emitting it costs only
     the (B·M·32·4 B) store, and lets the fused VJP kernel skip its 9·L-matmul
     forward-product rebuild (see ``propagate_su4_pallas_bwd``)."""
+    (*pulse_refs, tr_ref, ti_ref, d1_ref, d2_ref, eps_ref,
+     sum_ref, prod_ref) = refs
     b = pl.program_id(0)
     j = pl.program_id(1)
-    ur, ui = _propagate_loop(phi_ref, om_ref, tau_ref, b, d1_ref[0],
+    ur, ui = _propagate_loop(tuple(pulse_refs), b, d1_ref[0],
                              d2_ref[0], eps_ref[0], L, xtalk=xtalk,
                              coupling=coupling, scaling=scaling)
     for r in range(4):
@@ -295,29 +313,38 @@ def _mc_grid(M: int, tile_rows: int) -> Tuple[int, int, int]:
     return rows, tr, rows // tr
 
 
-def _split_pulses(pulses):
-    """(B, L, P) → φ, Ω, τ tables (Ω ≡ 1 for 2-parameter spaces)."""
+def _split_pulses(pulses, drive2=False):
+    """(B, L, P) → pulse tables: (φ, Ω, τ) with Ω ≡ 1 for 2-parameter
+    spaces, or (φ₁, φ₂, Ω, τ) when ``drive2`` (P must be 4)."""
     P = pulses.shape[-1]
     phi = pulses[..., 0]
     tau = pulses[..., -1]
+    if drive2:
+        if P != 4:
+            raise ValueError(
+                f"drive2 expects 4-parameter pulses (phi1, phi2, omega, "
+                f"tau); got P={P}")
+        return phi, pulses[..., 1], pulses[..., 2], tau
+    if P == 4:
+        raise ValueError("4-parameter pulses require drive2=True")
     om = pulses[..., 1] if P == 3 else jnp.ones_like(phi)
     return phi, om, tau
 
 
 @functools.partial(jax.jit,
                    static_argnames=("xtalk", "coupling", "scaling",
-                                    "tile_rows"))
+                                    "tile_rows", "drive2"))
 def propagate_su4_mc_pallas(pulses, delta1, delta2, epsilon, *, xtalk=0.1,
                             coupling=0.5, scaling=4,
-                            tile_rows=_DEF_ROWS):
+                            tile_rows=_DEF_ROWS, drive2=False):
     """(B, L, P) pulses × (B, M) disorder → (re, im) pair of (B, M, 4, 4).
 
     Drop-in SoA-kernel counterpart of :func:`..core.su4.propagate_su4_mc`
-    (pass ``xtalk``/``coupling`` from the :class:`TwoQubitSystem`).
-    Forward/evaluation only.
+    (pass ``xtalk``/``coupling``/``drive2`` from the
+    :class:`TwoQubitSystem`).  Forward/evaluation only.
     """
     B, L, _ = pulses.shape
-    phi, om, tau = _split_pulses(pulses)
+    cols = _split_pulses(pulses, drive2)
     delta1, delta2, epsilon, M_orig = _pad_mc(delta1, delta2, epsilon)
     M = delta1.shape[1]
     rows, tr, ntiles = _mc_grid(M, tile_rows)
@@ -333,7 +360,7 @@ def propagate_su4_mc_pallas(pulses, delta1, delta2, epsilon, *, xtalk=0.1,
         functools.partial(_prop_kernel, L=L, xtalk=xtalk, coupling=coupling,
                           scaling=scaling),
         grid=(B, ntiles),
-        in_specs=[smem(), smem(), smem(), vmem(), vmem(), vmem()],
+        in_specs=[*([smem()] * len(cols)), vmem(), vmem(), vmem()],
         out_specs=pl.BlockSpec((1, 32, tr, LANES), lambda b, j: (b, 0, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 32, rows, LANES), jnp.float32),
@@ -342,7 +369,7 @@ def propagate_su4_mc_pallas(pulses, delta1, delta2, epsilon, *, xtalk=0.1,
             bytes_accessed=B * (L * 12 + M * 12 + M * 128),
         ),
         interpret=_interpret(),
-    )(phi, om, tau, d1, d2, ep)
+    )(*cols, d1, d2, ep)
     # register layout is [16 × re][16 × im]
     out = jnp.moveaxis(out, 1, -1).reshape(B, M, 2, 4, 4)[:, :M_orig]
     return out[..., 0, :, :], out[..., 1, :, :]
@@ -350,10 +377,10 @@ def propagate_su4_mc_pallas(pulses, delta1, delta2, epsilon, *, xtalk=0.1,
 
 @functools.partial(jax.jit,
                    static_argnames=("xtalk", "coupling", "scaling",
-                                    "tile_rows"))
+                                    "tile_rows", "drive2"))
 def mean_fidelity_su4_pallas(pulses, target_re, target_im, delta1, delta2,
                              epsilon, *, xtalk=0.1, coupling=0.5, scaling=4,
-                             tile_rows=_DEF_ROWS):
+                             tile_rows=_DEF_ROWS, drive2=False):
     """Fully fused two-qubit objective: ``(B,) E_M[F]``.
 
     ``pulses (B,L,P)``, ``target_re/im (B,4,4)``, disorder ``(B,M)`` —
@@ -361,7 +388,7 @@ def mean_fidelity_su4_pallas(pulses, target_re, target_im, delta1, delta2,
     mean all reduce on-chip; only B scalars leave.
     """
     B, L, _ = pulses.shape
-    phi, om, tau = _split_pulses(pulses)
+    cols = _split_pulses(pulses, drive2)
     delta1, delta2, epsilon, M_orig = _pad_mc(delta1, delta2, epsilon)
     M = delta1.shape[1]
     rows, tr, ntiles = _mc_grid(M, tile_rows)
@@ -383,7 +410,7 @@ def mean_fidelity_su4_pallas(pulses, target_re, target_im, delta1, delta2,
                           M_valid=(M_orig if M_orig != M else None),
                           tile_rows=tr),
         grid=(B, ntiles),
-        in_specs=[smem_bl(), smem_bl(), smem_bl(), smem_bt(), smem_bt(),
+        in_specs=[*([smem_bl()] * len(cols)), smem_bt(), smem_bt(),
                   vmem(), vmem(), vmem()],
         out_specs=pl.BlockSpec((B, 1), lambda b, j: (0, 0),
                                memory_space=pltpu.SMEM),
@@ -393,17 +420,17 @@ def mean_fidelity_su4_pallas(pulses, target_re, target_im, delta1, delta2,
             bytes_accessed=B * (L * 12 + M * 12 + 132),
         ),
         interpret=_interpret(),
-    )(phi, om, tau, t_r, t_i, d1, d2, ep)
+    )(*cols, t_r, t_i, d1, d2, ep)
     return sums[:, 0] / M_orig
 
 
 @functools.partial(jax.jit,
                    static_argnames=("xtalk", "coupling", "scaling",
-                                    "tile_rows"))
+                                    "tile_rows", "drive2"))
 def mean_fidelity_su4_pallas_with_product(pulses, target_re, target_im,
                                           delta1, delta2, epsilon, *,
                                           xtalk=0.1, coupling=0.5, scaling=4,
-                                          tile_rows=_DEF_ROWS):
+                                          tile_rows=_DEF_ROWS, drive2=False):
     """Fused objective that ALSO returns the per-sample product.
 
     Same contract as :func:`mean_fidelity_su4_pallas` plus a second output:
@@ -415,7 +442,7 @@ def mean_fidelity_su4_pallas_with_product(pulses, target_re, target_im,
     needs to skip its 9·L-matmul forward-chain rebuild.
     """
     B, L, _ = pulses.shape
-    phi, om, tau = _split_pulses(pulses)
+    cols = _split_pulses(pulses, drive2)
     delta1, delta2, epsilon, M_orig = _pad_mc(delta1, delta2, epsilon)
     M = delta1.shape[1]
     rows, tr, ntiles = _mc_grid(M, tile_rows)
@@ -437,7 +464,7 @@ def mean_fidelity_su4_pallas_with_product(pulses, target_re, target_im,
                           M_valid=(M_orig if M_orig != M else None),
                           tile_rows=tr),
         grid=(B, ntiles),
-        in_specs=[smem_bl(), smem_bl(), smem_bl(), smem_bt(), smem_bt(),
+        in_specs=[*([smem_bl()] * len(cols)), smem_bt(), smem_bt(),
                   vmem(), vmem(), vmem()],
         out_specs=(
             pl.BlockSpec((B, 1), lambda b, j: (0, 0),
@@ -454,5 +481,5 @@ def mean_fidelity_su4_pallas_with_product(pulses, target_re, target_im,
             bytes_accessed=B * (L * 12 + M * 12 + M * 128 + 132),
         ),
         interpret=_interpret(),
-    )(phi, om, tau, t_r, t_i, d1, d2, ep)
+    )(*cols, t_r, t_i, d1, d2, ep)
     return sums[:, 0] / M_orig, prod

@@ -73,10 +73,14 @@ def _mscale(s, a):
     return [[s * a[r][c] for c in range(4)] for r in range(4)]
 
 
-def _build_A(phi, omega, tau, d1, d2, eps, *, xtalk, coupling, scaling):
+def _build_A(phi, omega, tau, d1, d2, eps, *, xtalk, coupling, scaling,
+             phi2=None):
     """Sparse ``A = −i·H·τ/2^s`` plus the pieces the VJP reuses.
 
     Returns (Ar, Ai, K-pieces): K = −i·H so A = t·K with t = τ/2^s.
+    ``phi2`` (drive2): G₁ = amp·(e^{−iφ₁} + χe^{−iφ₂}),
+    G₂ = amp·(χe^{−iφ₁} + e^{−iφ₂}) — matches the forward kernel and
+    ``su4.su4_hamiltonian``.
     """
     c = jnp.cos(phi)
     s = jnp.sin(phi)
@@ -86,6 +90,15 @@ def _build_A(phi, omega, tau, d1, d2, eps, *, xtalk, coupling, scaling):
             0.5 * (d2 - d1) - coupling, -0.5 * (d1 + d2) + coupling]
     g1r, g1i = amp * c, -amp * s
     g2r, g2i = xtalk * g1r, xtalk * g1i
+    if phi2 is not None:
+        c2 = jnp.cos(phi2)
+        s2 = jnp.sin(phi2)
+        g2r = g2r + amp * c2
+        g2i = g2i - amp * s2
+        g1r = g1r + xtalk * amp * c2
+        g1i = g1i - xtalk * amp * s2
+    else:
+        c2 = s2 = None
     t = tau / (2.0 ** scaling)
     zero = jnp.zeros_like(d1)
     Kr = [[zero for _ in range(4)] for _ in range(4)]
@@ -99,7 +112,7 @@ def _build_A(phi, omega, tau, d1, d2, eps, *, xtalk, coupling, scaling):
         Ki[r][cc] = -hr
     Ar = [[Kr[r][cc] * t for cc in range(4)] for r in range(4)]
     Ai = [[Ki[r][cc] * t for cc in range(4)] for r in range(4)]
-    return Ar, Ai, Kr, Ki, (c, s, amp, relu_om, t)
+    return Ar, Ai, Kr, Ki, (c, s, amp, relu_om, t, c2, s2)
 
 
 def _expm_chain(Ar, Ai, scaling):
@@ -186,8 +199,9 @@ def _unflatten2(flat, off=0):
 
 def _param_grads_from_D(Dr, Di, Kr, Ki, scal, eps, zero, *, xtalk, scaling):
     """Chain the expm cotangent ``D = dL/dA`` through the sparse Hamiltonian
-    build to the six leaf parameters (φ, Ω, τ, δ₁, δ₂, ε) of one segment."""
-    c, s, amp, relu_om, t = scal
+    build to the leaf parameters (φ[, φ₂], Ω, τ, δ₁, δ₂, ε) of one segment
+    (φ₂ present iff the segment was built with drive2)."""
+    c, s, amp, relu_om, t, c2, s2 = scal
     # dτ: A = t·K ⇒ dt = Σ (Dr·Kr + Di·Ki); τ = t·2^s ⇒ dτ = dt/2^s
     dt = zero
     for r in range(4):
@@ -210,14 +224,20 @@ def _param_grads_from_D(Dr, Di, Kr, Ki, scal, eps, zero, *, xtalk, scaling):
         else:
             dh2r = dh2r + dhr
             dh2i = dh2i + dhi
-    # (g1r, g1i) = amp·(c, −s);  g2 = χ·g1
+    # (g1r, g1i) = amp·(c, −s) [+ χ·amp·(c₂, −s₂)];  g2 = χ·g1 [+ amp·e₂]
     Pc = dh1r + xtalk * dh2r       # cotangent of amp·c
     Ps = dh1i + xtalk * dh2i       # cotangent of −amp·s
     damp = c * Pc - s * Ps
     dphi_s = amp * (-s * Pc - c * Ps)
+    dphi2_s = None
+    if c2 is not None:             # drive2: the φ₂ channel
+        P2c = xtalk * dh1r + dh2r  # cotangent of amp·c₂
+        P2s = xtalk * dh1i + dh2i  # cotangent of −amp·s₂
+        damp = damp + c2 * P2c - s2 * P2s
+        dphi2_s = amp * (-s2 * P2c - c2 * P2s)
     deps_s = 0.5 * relu_om * damp
     dom_s = 0.5 * (1.0 + eps) * jnp.where(relu_om > 0.0, damp, 0.0)
-    return dphi_s, dom_s, dtau_s, dd1_s, dd2_s, deps_s
+    return dphi_s, dphi2_s, dom_s, dtau_s, dd1_s, dd2_s, deps_s
 
 
 def _fid_cotangent(Pr, Pi, tr_ref, ti_ref, gbar_ref, b, j, shape_like, *,
@@ -246,10 +266,17 @@ def _fid_cotangent(Pr, Pi, tr_ref, ti_ref, gbar_ref, b, j, shape_like, *,
     return Gr, Gi
 
 
-def _bwd_kernel(phi_ref, om_ref, tau_ref, tr_ref, ti_ref, gbar_ref,
-                d1_ref, d2_ref, eps_ref,
-                dphi_ref, dom_ref, dtau_ref, dd1_ref, dd2_ref, deps_ref,
-                *, L, xtalk, coupling, scaling, M_valid, inv_M, tile_rows):
+def _bwd_kernel(*refs, L, xtalk, coupling, scaling, M_valid, inv_M,
+                tile_rows, drive2=False):
+    if drive2:
+        (phi_ref, phi2_ref, om_ref, tau_ref, tr_ref, ti_ref, gbar_ref,
+         d1_ref, d2_ref, eps_ref, dphi_ref, dphi2_ref, dom_ref, dtau_ref,
+         dd1_ref, dd2_ref, deps_ref) = refs
+    else:
+        (phi_ref, om_ref, tau_ref, tr_ref, ti_ref, gbar_ref,
+         d1_ref, d2_ref, eps_ref, dphi_ref, dom_ref, dtau_ref,
+         dd1_ref, dd2_ref, deps_ref) = refs
+        phi2_ref = dphi2_ref = None
     b = pl.program_id(0)
     j = pl.program_id(1)
     d1 = d1_ref[0]
@@ -262,13 +289,16 @@ def _bwd_kernel(phi_ref, om_ref, tau_ref, tr_ref, ti_ref, gbar_ref,
             dphi_ref[b, k] = 0.0
             dom_ref[b, k] = 0.0
             dtau_ref[b, k] = 0.0
+            if drive2:
+                dphi2_ref[b, k] = 0.0
             return 0
         jax.lax.fori_loop(0, L, zero_k, 0)
 
     def seg_U(k):
         Ar, Ai, Kr, Ki, scal = _build_A(
             phi_ref[b, k], om_ref[b, k], tau_ref[b, k], d1, d2, eps,
-            xtalk=xtalk, coupling=coupling, scaling=scaling)
+            xtalk=xtalk, coupling=coupling, scaling=scaling,
+            phi2=(phi2_ref[b, k] if drive2 else None))
         return Ar, Ai, Kr, Ki, scal
 
     # ---- forward: full product P = U_L ⋯ U_1 -----------------------------
@@ -308,12 +338,15 @@ def _bwd_kernel(phi_ref, om_ref, tau_ref, tr_ref, ti_ref, gbar_ref,
         # VJP through the exponential
         Dr, Di = _expm_vjp(Cr, Ci, Ar, Ai, residuals)
 
-        dphi_s, dom_s, dtau_s, dd1_s, dd2_s, deps_s = _param_grads_from_D(
+        (dphi_s, dphi2_s, dom_s, dtau_s, dd1_s, dd2_s,
+         deps_s) = _param_grads_from_D(
             Dr, Di, Kr, Ki, scal, eps, zero, xtalk=xtalk, scaling=scaling)
 
         dphi_ref[b, k] += jnp.sum(dphi_s)
         dom_ref[b, k] += jnp.sum(dom_s)
         dtau_ref[b, k] += jnp.sum(dtau_s)
+        if drive2:
+            dphi2_ref[b, k] += jnp.sum(dphi2_s)
 
         # update conj-left-suffix: L_{k-1}^H = U_k^H L_k^H
         Lhr2, Lhi2 = _matmul_soa(Uhr, Uhi, Lhr, Lhi)
@@ -327,11 +360,8 @@ def _bwd_kernel(phi_ref, om_ref, tau_ref, tr_ref, ti_ref, gbar_ref,
     deps_ref[0] = carry[66]
 
 
-def _bwd_prod_kernel(phi_ref, om_ref, tau_ref, tr_ref, ti_ref, gbar_ref,
-                     d1_ref, d2_ref, eps_ref, prod_ref,
-                     dphi_ref, dom_ref, dtau_ref, dd1_ref, dd2_ref,
-                     deps_ref, *, L, xtalk, coupling, scaling, M_valid,
-                     inv_M, tile_rows):
+def _bwd_prod_kernel(*refs, L, xtalk, coupling, scaling, M_valid,
+                     inv_M, tile_rows, drive2=False):
     """Product-seeded VJP sweep — no forward-chain rebuild.
 
     The forward objective kernel saved the per-sample product ``P`` to HBM
@@ -346,6 +376,15 @@ def _bwd_prod_kernel(phi_ref, om_ref, tau_ref, tr_ref, ti_ref, gbar_ref,
     replacing the 4 product-maintenance matmuls AND the ~10·L-matmul rebuild:
     ~27 vs ~39 SoA matmuls per segment, and a 35- vs 67-register carry.
     """
+    if drive2:
+        (phi_ref, phi2_ref, om_ref, tau_ref, tr_ref, ti_ref, gbar_ref,
+         d1_ref, d2_ref, eps_ref, prod_ref, dphi_ref, dphi2_ref, dom_ref,
+         dtau_ref, dd1_ref, dd2_ref, deps_ref) = refs
+    else:
+        (phi_ref, om_ref, tau_ref, tr_ref, ti_ref, gbar_ref,
+         d1_ref, d2_ref, eps_ref, prod_ref, dphi_ref, dom_ref, dtau_ref,
+         dd1_ref, dd2_ref, deps_ref) = refs
+        phi2_ref = dphi2_ref = None
     b = pl.program_id(0)
     j = pl.program_id(1)
     d1 = d1_ref[0]
@@ -358,6 +397,8 @@ def _bwd_prod_kernel(phi_ref, om_ref, tau_ref, tr_ref, ti_ref, gbar_ref,
             dphi_ref[b, k] = 0.0
             dom_ref[b, k] = 0.0
             dtau_ref[b, k] = 0.0
+            if drive2:
+                dphi2_ref[b, k] = 0.0
             return 0
         jax.lax.fori_loop(0, L, zero_k, 0)
 
@@ -378,18 +419,22 @@ def _bwd_prod_kernel(phi_ref, om_ref, tau_ref, tr_ref, ti_ref, gbar_ref,
 
         Ar, Ai, Kr, Ki, scal = _build_A(
             phi_ref[b, k], om_ref[b, k], tau_ref[b, k], d1, d2, eps,
-            xtalk=xtalk, coupling=coupling, scaling=scaling)
+            xtalk=xtalk, coupling=coupling, scaling=scaling,
+            phi2=(phi2_ref[b, k] if drive2 else None))
         (Ukr, Uki), residuals = _expm_chain(Ar, Ai, scaling)
         # Ĝ_k = V_{k+1}·U_k
         Cr, Ci = _matmul_soa(Vr, Vi, Ukr, Uki)
         Dr, Di = _expm_vjp(Cr, Ci, Ar, Ai, residuals)
 
-        dphi_s, dom_s, dtau_s, dd1_s, dd2_s, deps_s = _param_grads_from_D(
+        (dphi_s, dphi2_s, dom_s, dtau_s, dd1_s, dd2_s,
+         deps_s) = _param_grads_from_D(
             Dr, Di, Kr, Ki, scal, eps, zero, xtalk=xtalk, scaling=scaling)
 
         dphi_ref[b, k] += jnp.sum(dphi_s)
         dom_ref[b, k] += jnp.sum(dom_s)
         dtau_ref[b, k] += jnp.sum(dtau_s)
+        if drive2:
+            dphi2_ref[b, k] += jnp.sum(dphi2_s)
 
         # V_k = U_k^H·Ĝ_k
         Uhr, Uhi = _conjT(Ukr, Uki)
@@ -406,11 +451,11 @@ def _bwd_prod_kernel(phi_ref, om_ref, tau_ref, tr_ref, ti_ref, gbar_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("xtalk", "coupling", "scaling",
-                                    "tile_rows"))
+                                    "tile_rows", "drive2"))
 def su4_objective_vjp_from_product(pulses, target_re, target_im, delta1,
                                    delta2, epsilon, gbar, prod, *, xtalk=0.1,
                                    coupling=0.5, scaling=4,
-                                   tile_rows=_DEF_ROWS):
+                                   tile_rows=_DEF_ROWS, drive2=False):
     """VJP of the fused two-qubit objective, seeded with the saved product.
 
     ``prod`` is the second output of
@@ -419,7 +464,7 @@ def su4_objective_vjp_from_product(pulses, target_re, target_im, delta1,
     :func:`su4_objective_vjp_pallas` but skips the forward-chain rebuild.
     """
     B, L, Pn = pulses.shape
-    phi, om, tau = _split_pulses(pulses)
+    cols = _split_pulses(pulses, drive2)
     delta1, delta2, epsilon, M_orig = _pad_mc(delta1, delta2, epsilon)
     M = delta1.shape[1]
     rows, tr, ntiles = _mc_grid(M, tile_rows)
@@ -445,19 +490,18 @@ def su4_objective_vjp_from_product(pulses, target_re, target_im, delta1,
                                 memory_space=pltpu.VMEM)
     prod_spec = pl.BlockSpec((1, 32, tr, LANES), lambda b, j: (b, 0, j, 0),
                              memory_space=pltpu.VMEM)
-    dphi, dom, dtau, dd1, dd2, de = pl.pallas_call(
+    n_dp = 4 if drive2 else 3        # dphi[, dphi2], dom, dtau tables
+    outs = pl.pallas_call(
         functools.partial(_bwd_prod_kernel, L=L, xtalk=xtalk,
                           coupling=coupling, scaling=scaling,
                           M_valid=(M_orig if M_orig != M else None),
-                          inv_M=1.0 / M_orig, tile_rows=tr),
+                          inv_M=1.0 / M_orig, tile_rows=tr, drive2=drive2),
         grid=(B, ntiles),
-        in_specs=[smem_bl(), smem_bl(), smem_bl(), smem_bt(), smem_bt(),
+        in_specs=[*([smem_bl()] * len(cols)), smem_bt(), smem_bt(),
                   smem_b1(), vmem(), vmem(), vmem(), prod_spec],
-        out_specs=(smem_bl(), smem_bl(), smem_bl(), vmem(), vmem(), vmem()),
+        out_specs=(*([smem_bl()] * n_dp), vmem(), vmem(), vmem()),
         out_shape=(
-            jax.ShapeDtypeStruct((B, L), jnp.float32),
-            jax.ShapeDtypeStruct((B, L), jnp.float32),
-            jax.ShapeDtypeStruct((B, L), jnp.float32),
+            *([jax.ShapeDtypeStruct((B, L), jnp.float32)] * n_dp),
             jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32),
@@ -467,12 +511,9 @@ def su4_objective_vjp_from_product(pulses, target_re, target_im, delta1,
             bytes_accessed=B * (L * 24 + M * 24 + M * 128 + 132),
         ),
         interpret=_interpret(),
-    )(phi, om, tau, t_r, t_i, gb, d1, d2, ep, prod)
-
-    if Pn == 3:
-        dpulses = jnp.stack([dphi, dom, dtau], axis=-1)
-    else:
-        dpulses = jnp.stack([dphi, dtau], axis=-1)
+    )(*cols, t_r, t_i, gb, d1, d2, ep, prod)
+    *dp, dd1, dd2, de = outs
+    dpulses = _stack_dpulses(dp, Pn, drive2)
     return (dpulses, dd1.reshape(B, M)[:, :M_orig],
             dd2.reshape(B, M)[:, :M_orig],
             de.reshape(B, M)[:, :M_orig])
@@ -480,10 +521,10 @@ def su4_objective_vjp_from_product(pulses, target_re, target_im, delta1,
 
 @functools.partial(jax.jit,
                    static_argnames=("xtalk", "coupling", "scaling",
-                                    "tile_rows"))
+                                    "tile_rows", "drive2"))
 def su4_objective_vjp_pallas(pulses, target_re, target_im, delta1, delta2,
                              epsilon, gbar, *, xtalk=0.1, coupling=0.5,
-                             scaling=4, tile_rows=_DEF_ROWS):
+                             scaling=4, tile_rows=_DEF_ROWS, drive2=False):
     """VJP of the fused two-qubit objective.
 
     ``gbar (B,)`` is the cotangent of the per-target mean fidelities;
@@ -491,7 +532,7 @@ def su4_objective_vjp_pallas(pulses, target_re, target_im, delta1, delta2,
     deps (B, M))``.
     """
     B, L, Pn = pulses.shape
-    phi, om, tau = _split_pulses(pulses)
+    cols = _split_pulses(pulses, drive2)
     delta1, delta2, epsilon, M_orig = _pad_mc(delta1, delta2, epsilon)
     M = delta1.shape[1]
     rows, tr, ntiles = _mc_grid(M, tile_rows)
@@ -510,19 +551,18 @@ def su4_objective_vjp_pallas(pulses, target_re, target_im, delta1, delta2,
                                    memory_space=pltpu.SMEM)
     vmem = lambda: pl.BlockSpec((1, tr, LANES), lambda b, j: (b, j, 0),
                                 memory_space=pltpu.VMEM)
-    dphi, dom, dtau, dd1, dd2, de = pl.pallas_call(
+    n_dp = 4 if drive2 else 3
+    outs = pl.pallas_call(
         functools.partial(_bwd_kernel, L=L, xtalk=xtalk, coupling=coupling,
                           scaling=scaling,
                           M_valid=(M_orig if M_orig != M else None),
-                          inv_M=1.0 / M_orig, tile_rows=tr),
+                          inv_M=1.0 / M_orig, tile_rows=tr, drive2=drive2),
         grid=(B, ntiles),
-        in_specs=[smem_bl(), smem_bl(), smem_bl(), smem_bt(), smem_bt(),
+        in_specs=[*([smem_bl()] * len(cols)), smem_bt(), smem_bt(),
                   smem_b1(), vmem(), vmem(), vmem()],
-        out_specs=(smem_bl(), smem_bl(), smem_bl(), vmem(), vmem(), vmem()),
+        out_specs=(*([smem_bl()] * n_dp), vmem(), vmem(), vmem()),
         out_shape=(
-            jax.ShapeDtypeStruct((B, L), jnp.float32),
-            jax.ShapeDtypeStruct((B, L), jnp.float32),
-            jax.ShapeDtypeStruct((B, L), jnp.float32),
+            *([jax.ShapeDtypeStruct((B, L), jnp.float32)] * n_dp),
             jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32),
@@ -532,21 +572,30 @@ def su4_objective_vjp_pallas(pulses, target_re, target_im, delta1, delta2,
             bytes_accessed=B * (L * 24 + M * 24 + 132),
         ),
         interpret=_interpret(),
-    )(phi, om, tau, t_r, t_i, gb, d1, d2, ep)
-
-    if Pn == 3:
-        dpulses = jnp.stack([dphi, dom, dtau], axis=-1)
-    else:
-        dpulses = jnp.stack([dphi, dtau], axis=-1)
+    )(*cols, t_r, t_i, gb, d1, d2, ep)
+    *dp, dd1, dd2, de = outs
+    dpulses = _stack_dpulses(dp, Pn, drive2)
     return (dpulses, dd1.reshape(B, M)[:, :M_orig],
             dd2.reshape(B, M)[:, :M_orig],
             de.reshape(B, M)[:, :M_orig])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _stack_dpulses(dp, Pn, drive2):
+    """Assemble the (B, L, Pn) pulse cotangent from the kernel's tables.
+
+    dp = [dphi, (dphi2,) dom, dtau]; the 2-parameter space drops dom."""
+    if drive2:
+        return jnp.stack(dp, axis=-1)            # (φ₁, φ₂, Ω, τ)
+    dphi, dom, dtau = dp
+    if Pn == 3:
+        return jnp.stack([dphi, dom, dtau], axis=-1)
+    return jnp.stack([dphi, dtau], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def mean_fidelity_su4_trainable(pulses, target_re, target_im, delta1,
                                 delta2, epsilon, xtalk=0.1, coupling=0.5,
-                                scaling=4):
+                                scaling=4, drive2=False):
     """Differentiable fused two-qubit objective: ``(B,) E_M[F]``.
 
     Forward = the fused SoA Pallas kernel (also emitting the per-sample
@@ -556,22 +605,23 @@ def mean_fidelity_su4_trainable(pulses, target_re, target_im, delta1,
     the two-qubit workload (``--backend pallas``)."""
     return mean_fidelity_su4_pallas(pulses, target_re, target_im, delta1,
                                     delta2, epsilon, xtalk=xtalk,
-                                    coupling=coupling, scaling=scaling)
+                                    coupling=coupling, scaling=scaling,
+                                    drive2=drive2)
 
 
 def _fwd(pulses, target_re, target_im, delta1, delta2, epsilon, xtalk,
-         coupling, scaling):
+         coupling, scaling, drive2):
     out, prod = mean_fidelity_su4_pallas_with_product(
         pulses, target_re, target_im, delta1, delta2, epsilon, xtalk=xtalk,
-        coupling=coupling, scaling=scaling)
+        coupling=coupling, scaling=scaling, drive2=drive2)
     return out, (pulses, target_re, target_im, delta1, delta2, epsilon, prod)
 
 
-def _bwd(xtalk, coupling, scaling, res, gbar):
+def _bwd(xtalk, coupling, scaling, drive2, res, gbar):
     pulses, target_re, target_im, delta1, delta2, epsilon, prod = res
     dpulses, dd1, dd2, de = su4_objective_vjp_from_product(
         pulses, target_re, target_im, delta1, delta2, epsilon, gbar, prod,
-        xtalk=xtalk, coupling=coupling, scaling=scaling)
+        xtalk=xtalk, coupling=coupling, scaling=scaling, drive2=drive2)
     # target cotangents are not needed by any training path (targets are
     # data); returning zeros keeps the signature total.
     return (dpulses, jnp.zeros_like(target_re), jnp.zeros_like(target_im),

@@ -103,11 +103,6 @@ class SU4System:
     def local_mean_fidelity(self, pulses, target, errors):
         delta1, delta2, eps = errors
         if self.backend == "pallas":
-            if self.system.drive2:
-                raise NotImplementedError(
-                    "the fused SU(4) Pallas kernels implement the cross-talk"
-                    "-only drive; the drive2 system variant runs on "
-                    "backend='xla' (SoA scan autodiff)")
             if self.system.expm_order != 8:
                 raise NotImplementedError(
                     f"the fused SU(4) Pallas kernels hard-code the order-8 "
@@ -120,7 +115,7 @@ class SU4System:
             return mean_fidelity_su4_trainable(
                 pulses, target[:, 0], target[:, 1], delta1, delta2, eps,
                 self.system.xtalk, self.system.coupling,
-                self.system.expm_scaling)
+                self.system.expm_scaling, self.system.drive2)
         Ur, Ui = su4_mod.propagate_su4_mc(pulses, delta1, delta2, eps,
                                           self.system)
         F = su4_mod.fidelity_su4_ri(

@@ -133,8 +133,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "symmetric cross-talk and 4-parameter (phi1, phi2, "
                         "Omega, tau) pulses — delta2 becomes refocusable, "
                         "lifting the chi-cross-talk robustness ceiling "
-                        "(docs/two_qubit_results.md §Falsification); "
-                        "XLA backend only")
+                        "(docs/two_qubit_results.md §Falsification)")
     p.add_argument("--kak_features", action="store_true",
                    help="append a token with the target's Makhlin/KAK local "
                         "invariants (the SU(4) analog of the SCORE "
@@ -149,9 +148,6 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    if args.drive2 and args.backend != "xla":
-        raise SystemExit("--drive2 requires --backend xla (the fused SU(4) "
-                         "kernels implement the cross-talk-only drive)")
     system = SU4System(xtalk=args.xtalk, coupling=args.coupling,
                        backend=args.backend, drive2=args.drive2)
 

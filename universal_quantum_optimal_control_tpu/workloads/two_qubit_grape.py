@@ -81,7 +81,8 @@ def robustness_curve(pulses, u_target, sigmas, monte_carlo, system,
         if backend == "pallas":
             from ..ops import propagate_su4_mc_pallas
             Ur, Ui = propagate_su4_mc_pallas(
-                p, d1, d2, ep, xtalk=system.xtalk, coupling=system.coupling)
+                p, d1, d2, ep, xtalk=system.xtalk, coupling=system.coupling,
+                drive2=system.drive2)
         else:
             Ur, Ui = su4.propagate_su4_mc(p, d1, d2, ep, system)
         F = np.asarray(su4.fidelity_su4_ri(Ur, Ui, TR, TI))[0]
@@ -120,11 +121,8 @@ def main(argv=None) -> None:
     system = su4.TwoQubitSystem(xtalk=args.xtalk, coupling=args.coupling,
                                 drive2=args.drive2)
     curve_sigmas = [float(s) for s in args.curve_sigmas.split(",") if s]
-    # the fused kernels implement the cross-talk-only drive; the drive2
-    # variant propagates through the XLA SoA path
     curve = robustness_curve(pulses, u_target, curve_sigmas, args.curve_mc,
-                             system,
-                             backend="xla" if args.drive2 else "pallas")
+                             system, backend="pallas")
     with open(out / "robustness.csv", "w") as f:
         f.write("sigma_delta,EF,SE\n")
         for s, m, se in curve:
