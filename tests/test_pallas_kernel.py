@@ -1,5 +1,12 @@
 """Pallas propagator kernel vs the XLA reference path (interpret mode on CPU)."""
 
+import pytest
+
+# interpret-mode kernel compiles dominate the CPU suite wall-clock;
+# run with the full tier (see README §Testing): pytest -m "" tests/
+pytestmark = pytest.mark.slow
+
+
 import functools
 
 import jax

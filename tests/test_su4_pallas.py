@@ -1,5 +1,12 @@
 """SU(4) SoA Pallas kernel vs the XLA oracle (interpret mode on CPU)."""
 
+import pytest
+
+# interpret-mode kernel compiles dominate the CPU suite wall-clock;
+# run with the full tier (see README §Testing): pytest -m "" tests/
+pytestmark = pytest.mark.slow
+
+
 import jax
 import jax.numpy as jnp
 import numpy as np
