@@ -375,3 +375,62 @@ def test_build_targets_modes_and_phase_augment():
     for a, b in zip(Ua, Ub):
         assert abs(abs(np.trace(a.conj().T @ b)) - 4.0) < 1e-4
     assert not np.allclose(Ua, Ub, atol=1e-3)
+
+
+def test_kak_decompose_reconstructs_named_and_random():
+    """Full host KAK decomposition (the SU(4) analog of the reference's
+    YXY-Euler decomposition, universal_model.py:148-195): reconstruction
+    must be exact up to the documented Z4 normalization, including at the
+    degenerate chamber edges (CZ, iSWAP, SWAP, identity)."""
+    from universal_quantum_optimal_control_tpu.data.su4_targets import (
+        kak_decompose,
+        kak_reconstruct,
+    )
+
+    rng = np.random.default_rng(2)
+    z = rng.normal(size=(12, 4, 4)) + 1j * rng.normal(size=(12, 4, 4))
+    cases = list(np.linalg.qr(z)[0])
+    iswap = np.array([[1, 0, 0, 0], [0, 0, 1j, 0],
+                      [0, 1j, 0, 0], [0, 0, 0, 1]], complex)
+    swap = np.array([[1, 0, 0, 0], [0, 0, 1, 0],
+                     [0, 1, 0, 0], [0, 0, 0, 1]], complex)
+    cases += [np.asarray(CZ, complex), iswap, swap, np.eye(4) + 0j]
+    for U in cases:
+        A1, A2, c, B1, B2, g = kak_decompose(U)
+        for loc in (A1, A2, B1, B2):
+            np.testing.assert_allclose(loc @ loc.conj().T, np.eye(2),
+                                       atol=1e-10)
+            assert abs(np.linalg.det(loc) - 1.0) < 1e-10
+        Uh = kak_reconstruct(A1, A2, c, B1, B2, g)
+        ov = abs(np.trace(U.conj().T @ Uh)) / 4.0
+        assert 1.0 - ov < 1e-9, (1.0 - ov, c)
+    # CZ's Cartan class is the chamber edge (pi/4, 0, 0) up to reflection
+    _, _, c_cz, _, _, _ = kak_decompose(np.asarray(CZ, complex))
+    np.testing.assert_allclose(sorted(np.abs(c_cz), reverse=True),
+                               [np.pi / 4, 0, 0], atol=1e-9)
+
+
+def test_kak_input_tokens_and_model_mode():
+    """kak_input_tokens featurizes f32-sourced targets (relaxed commutation)
+    and the model's kak_tokens mode consumes them with valid pulses/grads."""
+    from universal_quantum_optimal_control_tpu.data.su4_targets import (
+        kak_input_tokens,
+    )
+    from universal_quantum_optimal_control_tpu.workloads.two_qubit import (
+        build_targets,
+    )
+
+    system = su4.TwoQubitSystem(drive2=True)
+    t = build_targets(jax.random.PRNGKey(1), 4, system, mode="mixed",
+                      phase_augment=True)
+    U = np.asarray(t[:, 0], np.float64) + 1j * np.asarray(t[:, 1], np.float64)
+    toks = kak_input_tokens(U)
+    assert toks.shape == (4, 9, 8) and np.isfinite(toks).all()
+
+    model = TwoQubitQOCTransformer(
+        max_pulses=6, d_model=32, n_layers=2, n_heads=4, dtype=jnp.float32,
+        kak_tokens=True)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(toks))
+    pulses = model.apply(params, jnp.asarray(toks))
+    assert pulses.shape == (4, 6, 2)
+    assert np.isfinite(np.asarray(pulses)).all()

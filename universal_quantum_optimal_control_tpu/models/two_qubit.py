@@ -140,6 +140,13 @@ class TwoQubitQOCTransformer(nn.Module):
     # featurization) — the encoder then sees the target's Cartan class
     # explicitly instead of having to infer it from raw matrix entries
     kak_features: bool = False
+    # FULL KAK featurization: the input is a precomputed (B, 9, 8) token
+    # array from ``data.su4_targets.kak_input_tokens`` (4 raw rows +
+    # A₁/A₂/B₁/B₂ local factors + Cartan coordinates) — host preprocessing,
+    # exactly the reference's YXY+SCORE philosophy (universal_model.py:
+    # 148-195).  Measured necessity: raw-entry input underfits the
+    # inverse-KAK map (docs/two_qubit_results.md §Generalization wall).
+    kak_tokens: bool = False
 
     @property
     def param_dim(self) -> int:
@@ -148,10 +155,22 @@ class TwoQubitQOCTransformer(nn.Module):
     @nn.compact
     def __call__(self, packed_target: jax.Array,
                  deterministic: bool = True) -> jax.Array:
-        """``(B, 2, 4, 4)`` packed targets → ``(B, max_pulses, P)`` pulses."""
+        """``(B, 2, 4, 4)`` packed targets → ``(B, max_pulses, P)`` pulses.
+
+        With ``kak_tokens`` the input is instead the precomputed ``(B, 9, 8)``
+        token array (see class docstring)."""
         P = self.param_dim
-        tokens = unitary_tokens(packed_target.astype(jnp.float32))  # (B, 4, 8)
-        if self.kak_features:
+        if self.kak_tokens:
+            tokens = packed_target.astype(jnp.float32)
+            if tokens.ndim != 3 or tokens.shape[-1] != 8:
+                raise ValueError(
+                    f"kak_tokens expects (B, T, 8) precomputed tokens from "
+                    f"data.su4_targets.kak_input_tokens; got shape "
+                    f"{tokens.shape}")
+        else:
+            tokens = unitary_tokens(
+                packed_target.astype(jnp.float32))  # (B, 4, 8)
+        if self.kak_features and not self.kak_tokens:
             feats = makhlin_invariants_ri(packed_target.astype(jnp.float32))
             pad = jnp.zeros(feats.shape[:-1] + (8 - feats.shape[-1],),
                             jnp.float32)

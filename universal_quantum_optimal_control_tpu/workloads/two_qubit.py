@@ -138,6 +138,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="append a token with the target's Makhlin/KAK local "
                         "invariants (the SU(4) analog of the SCORE "
                         "embedding's rotation-class featurization)")
+    p.add_argument("--kak_tokens", action="store_true",
+                   help="FULL KAK featurization: host-decompose every "
+                        "target into (A1, A2, Cartan c, B1, B2) and feed "
+                        "those as input tokens (data/su4_targets.py::"
+                        "kak_input_tokens) -- the two-qubit analog of the "
+                        "reference's YXY+SCORE embedding; fixes the "
+                        "raw-entry underfit on KAK-mixed target sets")
     p.add_argument("--curriculum", default="0.2,0.4,0.7",
                    help="comma-separated delta_std curriculum bands.  The "
                         "universal SU(4) inversion task benefits from a "
@@ -164,7 +171,7 @@ def main(argv=None) -> None:
         max_pulses=args.max_pulses, d_model=args.d_model,
         n_layers=args.n_layers, n_heads=args.n_heads,
         dtype=jnp.float32 if args.dtype == "f32" else jnp.bfloat16,
-        kak_features=args.kak_features,
+        kak_features=args.kak_features, kak_tokens=args.kak_tokens,
     )
 
     key = jax.random.PRNGKey(args.seed)
@@ -175,6 +182,16 @@ def main(argv=None) -> None:
     eval_t = build_targets(k2, args.eval_size, system.system,
                            mode=args.target_mode,
                            phase_augment=args.phase_augment)
+    train_x, eval_x = train_t, eval_t
+    if args.kak_tokens:
+        from ..data.su4_targets import kak_input_tokens
+
+        def tokens_of(packed):
+            U = (np.asarray(packed[:, 0], np.float64)
+                 + 1j * np.asarray(packed[:, 1], np.float64))
+            return jnp.asarray(kak_input_tokens(U))
+
+        train_x, eval_x = tokens_of(train_t), tokens_of(eval_t)
 
     cfg = TrainConfig(
         monte_carlo=args.monte_carlo, batch_size=args.batch_size,
@@ -186,7 +203,7 @@ def main(argv=None) -> None:
     )
     trainer = Trainer(model, cfg, system=system)
 
-    params = trainer.init_params(train_t[:2])
+    params = trainer.init_params(train_x[:2])
     if args.pretrained_single_qubit:
         if args.pretrained_single_qubit.endswith(".npz"):
             # a shipped single-qubit artifact (e.g. demo/weights/length100.npz)
@@ -212,7 +229,7 @@ def main(argv=None) -> None:
     with MetricsLogger(path=f"{args.save_path}/metrics.csv",
                        echo=True) as logger:
         params, history = trainer.train(
-            train_t, train_t, eval_t, eval_t,
+            train_x, train_t, eval_x, eval_t,
             curriculum=curriculum, params=params,
             save_dir=args.save_path, logger=logger)
 
