@@ -434,3 +434,39 @@ def test_kak_input_tokens_and_model_mode():
     pulses = model.apply(params, jnp.asarray(toks))
     assert pulses.shape == (4, 6, 2)
     assert np.isfinite(np.asarray(pulses)).all()
+
+
+def test_kak_canonicalize_invariance_and_classes():
+    """Canonical Cartan coordinates are exactly local-invariant (the token
+    the model sees is a true class label) and match the textbook classes:
+    CZ (pi/4,0,0), iSWAP (pi/4,pi/4,0), SWAP (pi/4,pi/4,pi/4),
+    sqrt_swap (pi/8,pi/8,pi/8)."""
+    from universal_quantum_optimal_control_tpu.data.su4_targets import (
+        haar_su2,
+        kak_decompose,
+        kak_reconstruct,
+    )
+
+    rng = np.random.default_rng(7)
+    z = rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4))
+    U = np.linalg.qr(z)[0]
+    _, _, c0, _, _, _ = kak_decompose(U)
+    for _ in range(5):
+        l1, l2 = haar_su2(rng, 1)[0], haar_su2(rng, 1)[0]
+        r1, r2 = haar_su2(rng, 1)[0], haar_su2(rng, 1)[0]
+        V = np.kron(l1, l2) @ U @ np.kron(r1, r2)
+        A1, A2, cV, B1, B2, g = kak_decompose(V)
+        np.testing.assert_allclose(cV, c0, atol=1e-12)
+        Vh = kak_reconstruct(A1, A2, cV, B1, B2, g)
+        assert abs(np.trace(V.conj().T @ Vh)) / 4.0 > 1.0 - 1e-9
+
+    iswap = np.array([[1, 0, 0, 0], [0, 0, 1j, 0],
+                      [0, 1j, 0, 0], [0, 0, 0, 1]], complex)
+    sqsw = np.array([[1, 0, 0, 0],
+                     [0, .5 + .5j, .5 - .5j, 0],
+                     [0, .5 - .5j, .5 + .5j, 0], [0, 0, 0, 1]], complex)
+    for U_, c_ref in ((np.asarray(CZ, complex), [np.pi / 4, 0, 0]),
+                      (iswap, [np.pi / 4, np.pi / 4, 0]),
+                      (sqsw, [np.pi / 8] * 3)):
+        _, _, c, _, _, _ = kak_decompose(U_)
+        np.testing.assert_allclose(np.abs(c), c_ref, atol=1e-9)

@@ -34,7 +34,7 @@ import numpy as np
 
 __all__ = ["haar_su2", "kak_targets", "random_global_phase",
            "z4_representatives", "kak_decompose", "kak_reconstruct",
-           "kak_input_tokens"]
+           "kak_canonicalize", "kak_input_tokens"]
 
 _X = np.array([[0, 1], [1, 0]], np.complex128)
 _Y = np.array([[0, -1j], [1j, 0]], np.complex128)
@@ -172,16 +172,16 @@ def _split_local(K: np.ndarray):
     return A, B, np.sqrt(dB)
 
 
-def kak_decompose(U: np.ndarray):
+def kak_decompose(U: np.ndarray, canonicalize: bool = True):
     """Cartan decomposition of a 4×4 unitary (host numpy, float64):
 
         U = g · (A₁ ⊗ A₂) · exp(−i(c₁·XX + c₂·YY + c₃·ZZ)) · (B₁ ⊗ B₂)
 
     with A, B ∈ SU(2) and ``g`` a global phase.  Returns
-    ``(A1, A2, c (3,), B1, B2, g)``.  The output is a deterministic valid
-    decomposition (not Weyl-chamber-canonicalized — continuity at
-    degeneracies is approximate, determinism is exact).  Verified by
-    reconstruction in tests."""
+    ``(A1, A2, c (3,), B1, B2, g)``.  ``canonicalize`` (default) steers the
+    result through :func:`kak_canonicalize` so locally-similar targets get
+    consistent features (the raw branch choice is measured to flatline
+    training — module banner).  Verified by reconstruction in tests."""
     U = np.asarray(U, np.complex128)
     U = U * np.linalg.det(U) ** (-0.25)           # into SU(4) (ℤ₄ choice)
     M = _QM.conj().T @ U @ _QM
@@ -200,7 +200,10 @@ def kak_decompose(U: np.ndarray):
     R = _QM @ P.T @ _QM.conj().T                   # B₁⊗B₂
     A1, A2, ga = _split_local(L)
     B1, B2, gb = _split_local(R)
-    return A1, A2, c, B1, B2, g * ga * gb
+    out = (A1, A2, c, B1, B2, g * ga * gb)
+    if canonicalize:
+        out = kak_canonicalize(*out)
+    return out
 
 
 def kak_reconstruct(A1, A2, c, B1, B2, g=1.0) -> np.ndarray:
@@ -224,3 +227,88 @@ def kak_input_tokens(U_batch: np.ndarray) -> np.ndarray:
             out[i, 4 + j] = np.stack([loc.real, loc.imag], -1).reshape(8)
         out[i, 8, :5] = [c[0], c[1], c[2], g.real, g.imag]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Weyl-chamber canonicalization.  kak_decompose's raw output is branch-
+# dependent (θ permutations/shifts land in the locals), so locally-similar
+# targets get scattered, DISCONTINUOUS features — measured to flatline
+# training (kak_tokens run, band-0 0.488 vs 0.587 raw-entry).  Each move
+# below preserves U exactly while steering c into a consistent form:
+#   shift:  E(c) = E(c − nπ/2·e_k) · (−i)^n (σ_k⊗σ_k)^{n mod 2}
+#   swap:   conjugating both qubits by R = exp(−iπ/4 σ_l) swaps c_j ↔ c_k
+#   flip2:  conjugating by (σ_l ⊗ I) negates c_j and c_k (j, k ≠ l)
+# with every absorbed factor kept in SU(2) via iσ and the phases in g.
+# ---------------------------------------------------------------------------
+
+_PAULIS = (_X, _Y, _Z)
+_OTHER = {(0, 1): 2, (1, 2): 0, (0, 2): 1, (1, 0): 2, (2, 1): 0, (2, 0): 1}
+
+
+def _rot(l):
+    """R = exp(−iπ/4 σ_l) ∈ SU(2): R σ_j R† = σ_k, R σ_k R† = −σ_j for the
+    cyclically-next pair (j, k) around axis l; σ_l fixed."""
+    return (np.cos(np.pi / 4) * np.eye(2)
+            - 1j * np.sin(np.pi / 4) * _PAULIS[l]).astype(np.complex128)
+
+
+def kak_canonicalize(A1, A2, c, B1, B2, g):
+    """Steer a valid decomposition into a consistent near-chamber form:
+    every cₖ ∈ (−π/4, π/4], |c| sorted descending, at most one negative
+    entry and only in the last (smallest-|c|) slot.  Locals stay SU(2);
+    phases accumulate in ``g``; reconstruction exact (tested)."""
+    A1 = np.array(A1, np.complex128)
+    A2 = np.array(A2, np.complex128)
+    B1 = np.array(B1, np.complex128)
+    B2 = np.array(B2, np.complex128)
+    c = np.array(c, np.float64)
+    g = complex(g)
+
+    # 1. shift every c_k into (−π/4, π/4]
+    for k in range(3):
+        n = int(np.ceil(c[k] / (np.pi / 2) - 0.5 - 1e-12))
+        if n:
+            c[k] -= n * np.pi / 2
+            g *= (-1j) ** (n % 4)
+            if n % 2:                       # absorb σ_k⊗σ_k = −(iσ_k)⊗(iσ_k)
+                g *= -1.0
+                B1 = (1j * _PAULIS[k]) @ B1
+                B2 = (1j * _PAULIS[k]) @ B2
+
+    def swap(j, k):
+        nonlocal A1, A2, B1, B2, c
+        R = _rot(_OTHER[(j, k)])
+        # R maps one of (σ_j, σ_k) to the other up to signs that cancel in
+        # σ⊗σ; conjugating E by (R⊗R) swaps c_j ↔ c_k exactly
+        A1 = A1 @ R.conj().T
+        A2 = A2 @ R.conj().T
+        B1 = R @ B1
+        B2 = R @ B2
+        c[j], c[k] = c[k], c[j]
+
+    def flip2(j, k):
+        nonlocal A1, B1, g, c
+        l = _OTHER[(j, k)]
+        P_ = 1j * _PAULIS[l]
+        A1 = A1 @ P_
+        B1 = P_ @ B1
+        g = -g
+        c[j] = -c[j]
+        c[k] = -c[k]
+
+    # 2. |c| descending via swaps
+    order = np.argsort(-np.abs(c), kind="stable")
+    if order[0] != 0:
+        swap(0, int(order[0]))
+        order = np.argsort(-np.abs(c), kind="stable")
+    if order[1] != 1:
+        swap(1, 2)
+
+    # 3. at most one negative, pushed to the last slot
+    neg = [k for k in range(3) if c[k] < -1e-15]
+    if len(neg) >= 2:
+        flip2(neg[0], neg[1])
+        neg = [k for k in range(3) if c[k] < -1e-15]
+    if len(neg) == 1 and neg[0] != 2:
+        flip2(neg[0], 2)
+    return A1, A2, c, B1, B2, g
