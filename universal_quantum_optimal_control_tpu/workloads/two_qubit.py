@@ -128,6 +128,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="random global phase on every target — teaches the "
                         "raw-matrix featurization the phase invariance the "
                         "fidelity already has")
+    p.add_argument("--lr_schedule", default="constant",
+                   choices=["constant", "cosine"],
+                   help="cosine = 5%% linear warmup then cosine decay to "
+                        "10%%, per band (with --reset_opt_per_band).  The "
+                        "post-LN d512x8 encoder falls into the constant-"
+                        "output attractor without warmup on hard target "
+                        "sets (docs/two_qubit_results.md)")
+    p.add_argument("--omega_min", type=float, default=0.0,
+                   help="lower edge of the Omega channel's range map (3- and "
+                        "4-parameter spaces).  A small floor (e.g. 0.05) "
+                        "removes the Omega=0 no-drive fixed point that "
+                        "collapses universal training on hard target sets "
+                        "(phi gradients vanish when nothing drives)")
     p.add_argument("--drive2", action="store_true",
                    help="system variant: direct drive line on qubit 2 with "
                         "symmetric cross-talk and 4-parameter (phi1, phi2, "
@@ -160,12 +173,12 @@ def main(argv=None) -> None:
 
     space = {"phi": (-3.15, 3.15), "tau": (0.1, 0.5)}
     if args.pulse_params == 3:
-        space = {"phi": (-3.15, 3.15), "omega": (0.0, 1.0),
+        space = {"phi": (-3.15, 3.15), "omega": (args.omega_min, 1.0),
                  "tau": (0.1, 0.5)}
     if args.drive2:
         # the drive2 system's declared 4-parameter space (core/su4.py)
         space = {"phi1": (-3.15, 3.15), "phi2": (-3.15, 3.15),
-                 "omega": (0.0, 1.0), "tau": (0.1, 0.5)}
+                 "omega": (args.omega_min, 1.0), "tau": (0.1, 0.5)}
     model = TwoQubitQOCTransformer(
         pulse_space=normalize_pulse_space(space),
         max_pulses=args.max_pulses, d_model=args.d_model,
@@ -196,6 +209,9 @@ def main(argv=None) -> None:
     cfg = TrainConfig(
         monte_carlo=args.monte_carlo, batch_size=args.batch_size,
         epochs=args.num_epoch, learning_rate=args.learning_rate,
+        lr_schedule=args.lr_schedule,
+        lr_schedule_steps=args.num_epoch * max(
+            args.train_size // args.batch_size, 1),
         loss="sharp", seed=args.seed, fused_epoch=args.fused_epoch,
         reset_optimizer_per_band=args.reset_opt_per_band,
         shuffle=args.shuffle, recover_collapse=args.recover_collapse,

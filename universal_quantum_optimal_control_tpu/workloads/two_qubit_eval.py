@@ -42,9 +42,13 @@ DEFAULT_CKPT = str(_WEIGHTS / "two_qubit_d512.npz")
 def model_gate_pulses(checkpoint: str, targets_packed: jax.Array,
                       *, max_pulses: int = 40, d_model: int = 512,
                       n_layers: int = 8, n_heads: int = 16,
-                      drive2: bool = False,
-                      kak_features: bool = False) -> jax.Array:
-    """Run the universal two-qubit model on packed ``(G, 2, 4, 4)`` targets."""
+                      drive2: bool = False, kak_features: bool = False,
+                      kak_tokens: bool = False) -> jax.Array:
+    """Run the universal two-qubit model on packed ``(G, 2, 4, 4)`` targets.
+
+    ``kak_tokens`` checkpoints take the host KAK featurization
+    (``data.su4_targets.kak_input_tokens``) — computed here from the packed
+    targets."""
     space = {"phi": (-3.15, 3.15), "tau": (0.1, 0.5)}
     if drive2:
         space = {"phi1": (-3.15, 3.15), "phi2": (-3.15, 3.15),
@@ -52,10 +56,17 @@ def model_gate_pulses(checkpoint: str, targets_packed: jax.Array,
     model = TwoQubitQOCTransformer(
         pulse_space=normalize_pulse_space(space),
         max_pulses=max_pulses, d_model=d_model, n_layers=n_layers,
-        n_heads=n_heads, dtype=jnp.float32, kak_features=kak_features)
+        n_heads=n_heads, dtype=jnp.float32, kak_features=kak_features,
+        kak_tokens=kak_tokens)
+    inputs = targets_packed
+    if kak_tokens:
+        from ..data.su4_targets import kak_input_tokens
+        U = (np.asarray(targets_packed[:, 0], np.float64)
+             + 1j * np.asarray(targets_packed[:, 1], np.float64))
+        inputs = jnp.asarray(kak_input_tokens(U))
     params = load_params_npz(
-        checkpoint, model.init(jax.random.PRNGKey(0), targets_packed))
-    return model.apply(params, targets_packed)
+        checkpoint, model.init(jax.random.PRNGKey(0), inputs))
+    return model.apply(params, inputs)
 
 
 def best_phase_pulses(checkpoint: str, U: np.ndarray,
@@ -139,6 +150,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(4-parameter pulses); evaluate on it too")
     p.add_argument("--kak_features", action="store_true",
                    help="the checkpoint uses the Makhlin/KAK input token")
+    p.add_argument("--kak_tokens", action="store_true",
+                   help="the checkpoint uses the full KAK featurization "
+                        "(data/su4_targets.py::kak_input_tokens)")
     p.add_argument("--best_phase", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="inference-time phase canonicalization: run the "
@@ -153,7 +167,8 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     sigmas = [float(s) for s in args.sigmas.split(",")]
     system = SU4System(drive2=args.drive2)
-    model_kw = dict(drive2=args.drive2, kak_features=args.kak_features)
+    model_kw = dict(drive2=args.drive2, kak_features=args.kak_features,
+                    kak_tokens=args.kak_tokens)
 
     gates = named_two_qubit_targets()
     names = list(gates)
