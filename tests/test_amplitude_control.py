@@ -1,6 +1,7 @@
 """3-parameter (φ, Ω, τ) pulse-space tests — amplitude-modulated drive."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 from jax.scipy.linalg import expm
@@ -111,6 +112,7 @@ def test_grape_direct_three_param_space():
     assert np.all(om >= 0.0) and np.all(om <= 2.0)
 
 
+@pytest.mark.slow
 def test_amplitude_control_reaches_pure_zz_evolution():
     """A pure ZZ evolution (drive off for time T) is exactly expressible with
     Ω-control (Ω = 0 segments) and INEXPRESSIBLE with the reference's

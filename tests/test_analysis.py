@@ -157,6 +157,7 @@ def test_bloch_animation_saves(tmp_path):
     assert saved and saved[0].stat().st_size > 1000
 
 
+@pytest.mark.slow
 def test_compare_pulse_strategies(tmp_path):
     """Strategy comparison: the shipped trained model should beat the
     primitive pulse on X(pi) at sigma=1; figure + table render."""

@@ -11,6 +11,7 @@ is rebuild-only capability (VERDICT r2 item 3a).
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,6 +40,7 @@ def test_effective_time_clamps_at_quarter_period():
     np.testing.assert_allclose(effective_time(0.01, chi), 0.01, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_zero_drive_saturates_bound_exactly():
     rng = np.random.default_rng(5)
     B, L, M = 2, 6, 60_000

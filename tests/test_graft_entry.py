@@ -5,6 +5,7 @@ import sys
 from pathlib import Path
 
 import jax
+import pytest
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
@@ -22,5 +23,6 @@ def test_entry_compiles_and_runs():
     assert 0.0 < float(mean_fid) <= 1.0
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     graft.dryrun_multichip(8)

@@ -1,6 +1,7 @@
 """SU(4) propagator tests against dense complex oracles."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 from jax.scipy.linalg import expm
@@ -78,6 +79,7 @@ def test_propagate_su4_unitary_and_order():
         np.testing.assert_allclose(U[b], Uref, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_soa_and_ri_layouts_agree():
     """The SoA (entries-leading, TPU) and trailing-(4,4) (CPU) scan layouts
     must be numerically identical — they are the same math in different
@@ -306,24 +308,18 @@ def test_drive2_enables_delta2_echo():
     assert f_free < 0.90, f_free
 
 
-def test_drive2_requires_4_param_pulses_and_xla_backend():
+def test_drive2_requires_4_param_pulses():
+    """drive2 expects the 4-parameter (phi1, phi2, omega, tau) space on
+    every backend (the fused kernels support drive2 since round 3 — the old
+    NotImplementedError guard is gone; pallas parity is covered by
+    tests/test_su4_pallas.py::test_su4_pallas_drive2_*)."""
     import pytest
-
-    from universal_quantum_optimal_control_tpu.training.systems import (
-        SU4System,
-    )
 
     sys_ = su4.TwoQubitSystem(drive2=True)
     pulses = jnp.zeros((1, 3, 3))
     with pytest.raises(ValueError, match="drive2"):
         su4.propagate_su4(pulses, jnp.zeros(1), jnp.zeros(1), jnp.zeros(1),
                           sys_)
-
-    s = SU4System(backend="pallas", drive2=True)
-    with pytest.raises(NotImplementedError, match="drive2"):
-        s.local_mean_fidelity(jnp.zeros((1, 3, 4)), jnp.zeros((1, 2, 4, 4)),
-                              (jnp.zeros((1, 8)), jnp.zeros((1, 8)),
-                               jnp.zeros((1, 8))))
 
 
 def test_drive2_grape_smoke():

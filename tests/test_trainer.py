@@ -175,6 +175,7 @@ def test_resume_mid_band(tmp_path):
     assert history["bands"][1]["best_fid"] > 0.5
 
 
+@pytest.mark.slow
 def test_profile_trace_written(tmp_path):
     model = GRAPE(num_pulses=6, pulse_space=normalize_pulse_space(
         {"phi": (-3.15, 3.15), "tau": (0.1, 0.5)}))
@@ -190,6 +191,7 @@ def test_profile_trace_written(tmp_path):
     assert found, "no profiler trace files written"
 
 
+@pytest.mark.slow
 def test_bf16_transformer_training_runs_and_improves():
     """The TPU-default bf16 compute path trains without NaNs and improves."""
     model = UniversalQOCTransformer(
@@ -273,6 +275,7 @@ def test_reset_optimizer_per_band():
                for v in b["eval_fid"])
 
 
+@pytest.mark.slow
 def test_shuffle_epochs_trains_and_differs():
     """--shuffle re-draws minibatch composition per epoch; training still
     converges and the trajectory differs from the fixed-order run."""

@@ -227,6 +227,7 @@ def test_demo_blend_variant_serves_with_base_pulse():
     app.load_pipeline.cache_clear()
 
 
+@pytest.mark.slow
 def test_export_npz_roundtrip(tmp_path):
     """Orbax band checkpoint -> f16 npz -> load through the demo path."""
     from universal_quantum_optimal_control_tpu.workloads import (
