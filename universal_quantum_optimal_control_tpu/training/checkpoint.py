@@ -45,6 +45,11 @@ def restore_checkpoint(base_dir: str, tag: str,
     import numpy as np
 
     path = _ckpt_dir(base_dir, tag)
+    if not (path / "params").exists():
+        avail = list_checkpoints(base_dir)
+        raise FileNotFoundError(
+            f"no checkpoint at {path / 'params'}; available tags in "
+            f"{base_dir!r}: {avail}")
     ckptr = ocp.PyTreeCheckpointer()
     # Restore as plain numpy, then align with the target tree: restoring as
     # jax.Array ties leaves to the device sharding recorded at save time,

@@ -99,6 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pretrained_single_qubit", type=str, default=None,
                    help="checkpoint dir:tag of a single-qubit model whose "
                         "encoder is transplanted before finetuning")
+    p.add_argument("--restore", type=str, default=None,
+                   help="checkpoint dir:tag of a TWO-QUBIT run to restore "
+                        "full params from before training — lets curriculum "
+                        "bands run as separate invocations (fresh cosine "
+                        "schedule + MC budget per band)")
     p.add_argument("--seed", type=int, default=0)
     # the recipe that unlocked the single-qubit d512x8 flagship
     p.add_argument("--reset_opt_per_band", action="store_true",
@@ -220,6 +225,10 @@ def main(argv=None) -> None:
     trainer = Trainer(model, cfg, system=system)
 
     params = trainer.init_params(train_x[:2])
+    if args.restore:
+        base_dir, tag = args.restore.rsplit(":", 1)
+        params, _ = restore_checkpoint(base_dir, tag, target=params)
+        print(f"restored two-qubit params from {args.restore}")
     if args.pretrained_single_qubit:
         if args.pretrained_single_qubit.endswith(".npz"):
             # a shipped single-qubit artifact (e.g. demo/weights/length100.npz)
