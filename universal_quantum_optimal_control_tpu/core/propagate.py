@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .su2 import quat_multiply, quat_to_su2, segment_quat, segment_quat_amp
+from .su2 import (quat_multiply, quat_to_su2, segment_quat,
+                  segment_quat_amp, segment_quat_det)
 
 __all__ = [
     "propagate_scan",
@@ -42,7 +43,9 @@ def _segment_quats(pulses: jax.Array, delta: jax.Array, epsilon: jax.Array) -> j
 
     Pulse-space dispatch on the trailing parameter count:
       P = 2 → ``(φ, τ)`` fixed-amplitude drive (reference contract);
-      P = 3 → ``(φ, Ω, τ)`` amplitude-modulated drive.
+      P = 3 → ``(φ, Ω, τ)`` amplitude-modulated drive;
+      P = 4 → ``(φ, Ω, Δ, τ)`` detuned drive — the reference's full
+              declared space (test.py:16-18), XLA path.
     """
     P = pulses.shape[-1]
     if P == 2:
@@ -52,7 +55,12 @@ def _segment_quats(pulses: jax.Array, delta: jax.Array, epsilon: jax.Array) -> j
         return segment_quat_amp(pulses[..., 0], pulses[..., 1],
                                 pulses[..., 2],
                                 delta[..., None], epsilon[..., None])
-    raise ValueError(f"unsupported pulse parameter count: {P} (want 2 or 3)")
+    if P == 4:
+        return segment_quat_det(pulses[..., 0], pulses[..., 1],
+                                pulses[..., 2], pulses[..., 3],
+                                delta[..., None], epsilon[..., None])
+    raise ValueError(
+        f"unsupported pulse parameter count: {P} (want 2, 3 or 4)")
 
 
 def propagate_scan(pulses: jax.Array, delta: jax.Array, epsilon: jax.Array,

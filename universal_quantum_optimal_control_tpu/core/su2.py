@@ -162,6 +162,40 @@ def segment_quat_amp(
     return jnp.stack(comps, axis=-1)
 
 
+def segment_quat_det(
+    phi: jax.Array,
+    omega: jax.Array,
+    det: jax.Array,
+    tau: jax.Array,
+    delta: jax.Array,
+    epsilon: jax.Array,
+) -> jax.Array:
+    r"""Detuned amplitude-modulated segment propagator quaternion.
+
+    Completes the reference's declared 4-parameter single-qubit pulse space
+    ``(Δ, Ω, φ, t)`` (test.py:16-18; interface universal_model.py:31,
+    47-51 — the reference's generator asserts P = 2 and never implements
+    it).  A controllable detuning Δ adds to the off-resonance disorder δ
+    on the σz axis:
+
+        H = ½·(1 + ε)·(Ω·cos φ·σx + Ω·sin φ·σy + (Δ + δ)·σz)
+        U = exp(−i·H·τ)
+
+    Parameter order here is ``(φ, Ω, Δ, τ)`` — φ first and τ last so the
+    model head's φ-offset/wrap (channel 0) and relu(τ) (channel −1)
+    conventions hold unchanged across P ∈ {2, 3, 4}.  Ω ≤ 0 clamps to 0.
+    """
+    omega = jnp.maximum(omega, 0.0)
+    z = det + delta
+    anorm = jnp.sqrt(omega * omega + z * z)
+    half = 0.5 * tau * (1.0 + epsilon) * anorm
+    w = jnp.cos(half)
+    s = jnp.sin(half) / jnp.maximum(anorm, 1e-12)
+    comps = jnp.broadcast_arrays(
+        w, s * omega * jnp.cos(phi), s * omega * jnp.sin(phi), s * z)
+    return jnp.stack(comps, axis=-1)
+
+
 def quat_to_su2(q: jax.Array) -> jax.Array:
     """Quaternion → complex 2×2 SU(2) matrix ``(..., 2, 2)`` (complex64)."""
     w, x, y, z = (q[..., i] for i in range(4))

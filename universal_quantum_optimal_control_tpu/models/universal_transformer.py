@@ -29,16 +29,32 @@ __all__ = ["UniversalQOCTransformer", "normalize_pulse_space", "wrap_angle"]
 PulseSpace = Tuple[Tuple[str, Tuple[float, float]], ...]
 
 
+# physics channel order: φ first (gets the offset/wrap), τ last (relu'd).
+# Recognized key names sort into this order regardless of declaration order,
+# so the reference's literal `{"Delta", "Omega", "phi", "tau"}` declaration
+# (test.py:16-18) maps onto the propagator's (φ, Ω, Δ, τ) convention.
+_CANONICAL_KEY_ORDER = {"phi": 0, "phi1": 0, "phi2": 1,
+                        "omega": 2, "Omega": 2, "delta": 3, "Delta": 3,
+                        "tau": 4, "t": 4}
+
+
 def normalize_pulse_space(pulse_space) -> PulseSpace:
     """Dict or tuple pulse space → canonical hashable tuple form.
 
     The reference declares ``pulse_space: Dict[str, (low, high)]``
     (universal_model.py:31, 47-51); Flax module fields must be hashable.
+    When every key is a recognized control name, entries are reordered
+    into the propagator's channel convention (φ…, Ω, Δ, τ); unknown keys
+    keep their declaration order.
     """
     if isinstance(pulse_space, dict):
-        return tuple((k, (float(v[0]), float(v[1])))
-                     for k, v in pulse_space.items())
-    return tuple((k, (float(lo), float(hi))) for k, (lo, hi) in pulse_space)
+        items = [(k, (float(v[0]), float(v[1])))
+                 for k, v in pulse_space.items()]
+    else:
+        items = [(k, (float(lo), float(hi))) for k, (lo, hi) in pulse_space]
+    if all(k in _CANONICAL_KEY_ORDER for k, _ in items):
+        items.sort(key=lambda kv: _CANONICAL_KEY_ORDER[kv[0]])
+    return tuple(items)
 
 
 def wrap_angle(x: jax.Array) -> jax.Array:
