@@ -121,8 +121,47 @@ def test_model_emits_four_param_pulses_and_grads_flow():
     assert np.isfinite(gnorm) and gnorm > 0
 
 
-def test_pallas_path_rejects_four_param():
-    from universal_quantum_optimal_control_tpu.ops import propagate_pallas
-    pulses = jnp.zeros((2, 3, 4))
-    with pytest.raises(ValueError, match="parameter count"):
-        propagate_pallas._pulse_columns(pulses)
+def _rand_p4(key, B=2, L=5, M=128):
+    ks = jax.random.split(key, 6)
+    phi = jax.random.uniform(ks[0], (B, L), minval=-np.pi, maxval=np.pi)
+    om = jax.random.uniform(ks[1], (B, L), minval=0.0, maxval=1.2)
+    det = jax.random.uniform(ks[2], (B, L), minval=-3.0, maxval=3.0)
+    tau = jax.random.uniform(ks[3], (B, L), minval=0.05, maxval=0.5)
+    pulses = jnp.stack([phi, om, det, tau], axis=-1)
+    delta = 0.5 * jax.random.normal(ks[4], (B, M))
+    eps = 0.05 * jax.random.normal(ks[5], (B, M))
+    return pulses, delta, eps
+
+
+def test_pallas_forward_four_param_matches_xla():
+    from universal_quantum_optimal_control_tpu.ops.propagate_pallas import (
+        propagate_mc_pallas)
+    pulses, delta, eps = _rand_p4(jax.random.PRNGKey(0))
+    q_k = propagate_mc_pallas(pulses, delta, eps)
+    q_x = propagate.propagate_mc(pulses, delta, eps)
+    np.testing.assert_allclose(np.asarray(q_k), np.asarray(q_x), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_pallas_fused_objective_four_param_grads_match_xla():
+    from universal_quantum_optimal_control_tpu.ops.propagate_pallas import (
+        mean_fidelity_pallas)
+    from universal_quantum_optimal_control_tpu.core.su2 import quat_fidelity
+
+    pulses, delta, eps = _rand_p4(jax.random.PRNGKey(1), B=2, L=4, M=128)
+    qt = su2.axis_angle_to_quat(
+        jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]]),
+        jnp.asarray([0.7, 2.1]))
+
+    def obj_k(p):
+        return jnp.sum(mean_fidelity_pallas(p, qt, delta, eps))
+
+    def obj_x(p):
+        q = propagate.propagate_mc(p, delta, eps)
+        return jnp.sum(jnp.mean(quat_fidelity(q, qt[:, None, :]), axis=1))
+
+    vk, gk = jax.value_and_grad(obj_k)(pulses)
+    vx, gx = jax.value_and_grad(obj_x)(pulses)
+    np.testing.assert_allclose(float(vk), float(vx), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gx),
+                               atol=1e-4, rtol=1e-4)

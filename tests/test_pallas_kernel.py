@@ -322,11 +322,11 @@ def test_amp_negative_omega_clamp_gradient():
 
 
 def test_unsupported_pulse_param_count_raises():
-    """P ∉ {2, 3} must be an error, not silent wrong physics."""
+    """P ∉ {2, 3, 4} must be an error, not silent wrong physics."""
     pulses, delta, eps = make_inputs(B=1, L=4, M=128)
-    p4 = jnp.concatenate([pulses, pulses], axis=-1)  # P = 4
+    p5 = jnp.concatenate([pulses, pulses, pulses[..., :1]], axis=-1)  # P = 5
     with pytest.raises(ValueError, match="parameter count"):
-        pk.propagate_mc_pallas(p4, delta, eps)
+        pk.propagate_mc_pallas(p5, delta, eps)
     q_t = su2.quat_normalize(jax.random.normal(jax.random.PRNGKey(1), (1, 4)))
     with pytest.raises(ValueError, match="parameter count"):
-        pk.mean_fidelity_pallas(p4, q_t, delta, eps)
+        pk.mean_fidelity_pallas(p5, q_t, delta, eps)

@@ -152,9 +152,9 @@ def _segment_loop(pulse_refs, b, delta, eps, L, sincos="native",
     """Shared kernel body: compose L segments over a (rows, 128) sample tile.
 
     ``pulse_refs`` holds the FULL (B, L) pulse tables in SMEM (they are tiny)
-    — ``(phi, tau)`` for the 2-parameter fixed-amplitude space or
-    ``(phi, omega, tau)`` for the amplitude-modulated space (the general
-    pulse-space contract the reference declares at universal_model.py:31).
+    — ``(phi, tau)``, ``(phi, omega, tau)``, or ``(phi, omega, det, tau)``
+    (the general pulse-space contract the reference declares at
+    universal_model.py:31; test.py:16-18 declares the 4-parameter form).
     ``b`` is the target index for this grid step.  delta/eps are (rows, 128)
     sample arrays.  Returns the 4 quaternion components.
 
@@ -167,8 +167,13 @@ def _segment_loop(pulse_refs, b, delta, eps, L, sincos="native",
     equivalent on v5e where the (rows, 128) tile already fills the VPU
     pipeline, see benchmarks/su2_fwd_levers.py).
     """
-    amp = len(pulse_refs) == 3
-    if amp:
+    P = len(pulse_refs)
+    amp = P >= 3
+    det = P == 4
+    if det:
+        phi_ref, om_ref, det_ref, tau_ref = pulse_refs
+        scale = 0.5 * (1.0 + eps)
+    elif amp:
         phi_ref, om_ref, tau_ref = pulse_refs
         scale = 0.5 * (1.0 + eps)  # per-sample; axis norm varies per segment
     else:
@@ -186,10 +191,13 @@ def _segment_loop(pulse_refs, b, delta, eps, L, sincos="native",
         nonlocal inv_anorm
         phi = pulse_refs[0][b, k]
         tau = pulse_refs[-1][b, k]
+        zax = delta
         if amp:
             om = jnp.maximum(om_ref[b, k], 0.0)
-            # axis (Ω·cosφ, Ω·sinφ, δ): norm depends on the segment's Ω
-            anorm2 = jnp.maximum(om * om + delta * delta, 1e-12)
+            if det:
+                zax = det_ref[b, k] + delta  # controllable detuning + disorder
+            # axis (Ω·cosφ, Ω·sinφ, Δ+δ): norm depends on the segment
+            anorm2 = jnp.maximum(om * om + zax * zax, 1e-12)
             inv_anorm = jax.lax.rsqrt(anorm2)
             half = tau * scale * anorm2 * inv_anorm  # τ·½(1+ε)·‖a‖
         else:
@@ -206,7 +214,7 @@ def _segment_loop(pulse_refs, b, delta, eps, L, sincos="native",
             s = jnp.sin(half) * inv_anorm
         x = s * (om * jnp.cos(phi))
         y = s * (om * jnp.sin(phi))
-        z = s * delta
+        z = s * zax
         return w, x, y, z
 
     q = (jnp.ones_like(delta), jnp.zeros_like(delta),
@@ -304,13 +312,14 @@ def _mc_grid(B: int, M: int, tile_rows: int) -> Tuple[int, int, int]:
 
 def _pulse_columns(pulses):
     """Split ``(B, L, P)`` pulses into P ``(B, L)`` SMEM tables, validating
-    the parameter count (P=2 ``(φ,τ)`` or P=3 ``(φ,Ω,τ)``)."""
+    the parameter count (P=2 ``(φ,τ)``, P=3 ``(φ,Ω,τ)``, or P=4
+    ``(φ,Ω,Δ,τ)`` — the reference's full declared space, test.py:16-18)."""
     P = pulses.shape[-1]
-    if P not in (2, 3):
+    if P not in (2, 3, 4):
         raise ValueError(
             f"SU(2) Pallas propagator supports pulse parameter counts 2 "
-            f"(phi, tau) and 3 (phi, omega, tau); got P={P} "
-            f"(pulses shape {pulses.shape})")
+            f"(phi, tau), 3 (phi, omega, tau) and 4 (phi, omega, delta, "
+            f"tau); got P={P} (pulses shape {pulses.shape})")
     return tuple(pulses[..., i] for i in range(P))
 
 
@@ -318,7 +327,7 @@ def _pulse_columns(pulses):
                    static_argnames=("tile_rows", "sincos", "schedule"))
 def _propagate_mc_pallas_raw(pulses, delta, eps, tile_rows=_DEF_ROWS,
                              sincos=None, schedule=None):
-    """(B, L, P) pulses × (B, M) disorder → (B, M, 4) quaternions, P ∈ {2,3}.
+    """(B, L, P) pulses × (B, M) disorder → (B, M, 4) quaternions, P ∈ {2,3,4}.
 
     M need not be a lane multiple: the MC axis is zero-padded up to one and
     the padded rows are sliced off the result (exact)."""
@@ -361,7 +370,8 @@ def _propagate_mc_pallas_raw(pulses, delta, eps, tile_rows=_DEF_ROWS,
 @jax.custom_vjp
 def propagate_mc_pallas(pulses: jax.Array, delta: jax.Array, eps: jax.Array) -> jax.Array:
     """Monte-Carlo–fused Pallas propagator: ``(B,L,P) × (B,M) → (B,M,4)``,
-    P ∈ {2, 3} (``(φ,τ)`` fixed-amplitude / ``(φ,Ω,τ)`` amplitude-modulated).
+    P ∈ {2, 3, 4} (``(φ,τ)`` fixed-amplitude / ``(φ,Ω,τ)`` amplitude-
+    modulated / ``(φ,Ω,Δ,τ)`` detuned).
 
     Forward runs the fused Mosaic kernel; backward is the fused Pallas
     reverse-sweep kernel (:func:`.propagate_pallas_bwd.propagate_mc_vjp_pallas`
@@ -436,7 +446,7 @@ def mean_fidelity_pallas(pulses: jax.Array, q_target: jax.Array,
                          delta: jax.Array, eps: jax.Array) -> jax.Array:
     """Fully fused objective: per-target mean entanglement fidelity.
 
-    ``(B,L,P) pulses (P ∈ {2,3}), (B,4) target quaternions, (B,M) disorder →
+    ``(B,L,P) pulses (P ∈ {2,3,4}), (B,4) target quaternions, (B,M) disorder →
     (B,) E_M[F]`` — propagation, fidelity, and the MC mean reduce on-chip;
     only B scalars are written to HBM.
     """

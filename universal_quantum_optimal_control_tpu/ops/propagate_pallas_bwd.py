@@ -71,15 +71,25 @@ def _conj(a):
     return (aw, -ax, -ay, -az)
 
 
-def _bwd_kernel(*refs, L, amp, sincos="native"):
-    """Fused VJP sweep.  ``amp=False``: 2-parameter ``(φ, τ)`` refs
-    ``(phi, tau, δ, ε, g → dphi, dtau, dδ, dε)``; ``amp=True``: 3-parameter
-    ``(φ, Ω, τ)`` refs ``(phi, om, tau, δ, ε, g → dphi, dom, dtau, dδ, dε)``.
+def _bwd_kernel(*refs, L, P, sincos="native"):
+    """Fused VJP sweep over the P-parameter pulse space.
+
+    ``P=2`` ``(φ, τ)`` refs ``(phi, tau, δ, ε, g → dphi, dtau, dδ, dε)``;
+    ``P=3`` ``(φ, Ω, τ)`` adds the Ω table and its cotangent; ``P=4``
+    ``(φ, Ω, Δ, τ)`` adds the per-segment detuning Δ, whose cotangent is
+    the σz-axis derivative summed over the sample tile (Δ and the disorder
+    δ enter the axis identically as Δ + δ, so they share the chain rule —
+    ``segment_quat_det`` in core/su2.py is the XLA twin).
 
     Ω is clamped at 0 like the XLA path (``segment_quat_amp``); its cotangent
     is gated on ``Ω_raw > 0`` (XLA's ``maximum`` splits the tie at exactly 0 —
     a measure-zero difference)."""
-    if amp:
+    amp = P >= 3
+    has_det = P == 4
+    if has_det:
+        (phi_ref, om_ref, det_ref, tau_ref, delta_ref, eps_ref, g_ref,
+         dphi_ref, dom_ref, ddet_ref, dtau_ref, ddelta_ref, deps_ref) = refs
+    elif amp:
         (phi_ref, om_ref, tau_ref, delta_ref, eps_ref, g_ref,
          dphi_ref, dom_ref, dtau_ref, ddelta_ref, deps_ref) = refs
     else:
@@ -103,6 +113,8 @@ def _bwd_kernel(*refs, L, amp, sincos="native"):
             dtau_ref[b, k] = 0.0
             if amp:
                 dom_ref[b, k] = 0.0
+            if has_det:
+                ddet_ref[b, k] = 0.0
             return 0
         jax.lax.fori_loop(0, L, zero_k, 0)
 
@@ -120,17 +132,19 @@ def _bwd_kernel(*refs, L, amp, sincos="native"):
         if amp:
             om_raw = om_ref[b, k]
             om = jnp.maximum(om_raw, 0.0)
-            a2 = jnp.maximum(om * om + delta * delta, 1e-12)
+            zax = det_ref[b, k] + delta if has_det else delta
+            a2 = jnp.maximum(om * om + zax * zax, 1e-12)
             inv = jax.lax.rsqrt(a2)
             n = a2 * inv
         else:
             om_raw = om = 1.0
+            zax = delta
             n, inv = anorm, inv_anorm
         half = 0.5 * tau * (1.0 + eps) * n
         sn, c = _sincos(half, sincos)   # sin(half), cos(half)
         s = sn * inv                    # sin(half)/‖a‖
-        q = (c, s * (om * cphi), s * (om * sphi), s * delta)
-        return q, (tau, om_raw, om, n, inv, sn, c, s, sphi, cphi)
+        q = (c, s * (om * cphi), s * (om * sphi), s * zax)
+        return q, (tau, om_raw, om, zax, n, inv, sn, c, s, sphi, cphi)
 
     # ---- forward: full product P = q_L ⊗ ⋯ ⊗ q_1 -------------------------
     def fwd_body(k, P):
@@ -151,7 +165,7 @@ def _bwd_kernel(*refs, L, amp, sincos="native"):
     def bwd_body(i, carry):
         P, cL, dd, de = carry
         k = L - 1 - i
-        q, (tau, om_raw, om, n, inv, sn, c, s, sphi, cphi) = seg(k)
+        q, (tau, om_raw, om, zax, n, inv, sn, c, s, sphi, cphi) = seg(k)
 
         # R_k = P_{k-1} = q_k^{-1} ⊗ P   (unit quaternion inverse = conj)
         R = _hprod(_conj(q), P)
@@ -162,10 +176,10 @@ def _bwd_kernel(*refs, L, amp, sincos="native"):
         # chain rule through the closed-form segment quaternion;
         # axy = ⟨A_xy, (cφ, sφ)⟩, proj = ⟨A_vec, axis⟩
         axy = Ax * cphi + Ay * sphi
-        proj = om * axy + Az * delta
+        proj = om * axy + Az * zax
         h_tau = 0.5 * (1.0 + eps) * n
         h_eps = 0.5 * tau * n
-        h_del = 0.5 * tau * (1.0 + eps) * delta * inv
+        h_del = 0.5 * tau * (1.0 + eps) * zax * inv
         # ∂q/∂φ = (0, −s·Ω·sφ, s·Ω·cφ, 0)
         dphi_s = (s * om) * (Ay * cphi - Ax * sphi)
         # ∂q/∂τ = (−sn·h_τ, c·h_τ/n·axis)
@@ -174,8 +188,10 @@ def _bwd_kernel(*refs, L, amp, sincos="native"):
         # ∂q/∂ε — same form with h_ε
         ds_eps = c * h_eps * inv
         deps_s = -sn * h_eps * Aw + ds_eps * proj
-        # ∂q/∂δ: ds = c·h_δ/n − s·δ/n², plus the direct s term on z
-        ds_del = c * h_del * inv - s * delta * (inv * inv)
+        # ∂q/∂z-axis (z = Δ + δ): ds = c·h_z/n − s·z/n², plus the direct
+        # s term on the z component — shared by the δ disorder and (P=4)
+        # the detuning control, which enter the axis identically
+        ds_del = c * h_del * inv - s * zax * (inv * inv)
         ddel_s = -sn * h_del * Aw + ds_del * proj + s * Az
 
         # per-(b, k) pulse grads: reduce over the sample tile into SMEM
@@ -189,6 +205,8 @@ def _bwd_kernel(*refs, L, amp, sincos="native"):
             dom_s = -sn * h_om * Aw + ds_om * proj + s * axy
             dom_s = jnp.where(om_raw > 0.0, dom_s, 0.0)
             dom_ref[b, k] += jnp.sum(dom_s)
+        if has_det:
+            ddet_ref[b, k] += jnp.sum(ddel_s)
 
         # update the conjugated left-suffix: conj(L_{k-1}) = conj(q_k) ⊗ cL
         cL_next = _hprod(_conj(q), cL)
@@ -211,7 +229,7 @@ def propagate_mc_vjp_pallas(pulses: jax.Array, delta: jax.Array,
                             tile_rows: int = 64,
                             sincos: str = None) -> Tuple[jax.Array, ...]:
     """VJP of the MC propagator: cotangent ``g (B, M, 4)`` →
-    ``(dpulses (B, L, P), ddelta (B, M), deps (B, M))``, P ∈ {2, 3}.
+    ``(dpulses (B, L, P), ddelta (B, M), deps (B, M))``, P ∈ {2, 3, 4}.
 
     One fused kernel: forward product rebuild + reverse sweep, no stored
     per-segment residuals.
@@ -235,7 +253,7 @@ def propagate_mc_vjp_pallas(pulses: jax.Array, delta: jax.Array,
     smem_spec = pl.BlockSpec((B, L), lambda b, j: (0, 0),
                              memory_space=pltpu.SMEM)
     *dcols, ddelta, deps = pl.pallas_call(
-        functools.partial(_bwd_kernel, L=L, amp=(P == 3), sincos=sincos),
+        functools.partial(_bwd_kernel, L=L, P=P, sincos=sincos),
         grid=(B, ntiles),
         in_specs=[
             *([smem_spec] * P),
