@@ -129,6 +129,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", default="pallas",
                    choices=["xla", "pallas"])
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pulse_params", type=int, default=None, choices=[2, 3, 4],
+                   help="widen the polish space beyond the model's: 3 adds "
+                        "the Rabi amplitude Omega, 4 adds the detuning "
+                        "Delta (the reference's full declared space, "
+                        "test.py:16-18).  Tables start exactly at the "
+                        "model's pulses (Omega=1, Delta=0), so any gain is "
+                        "attributable to the extra controls")
+    p.add_argument("--delta_range", type=float, default=5.0,
+                   help="detuning control range (-x, x) for --pulse_params 4 "
+                        "(the reference declares (-5, 5))")
     p.add_argument("--out", default="demo/weights/length100_gates.npz")
     return p
 
@@ -157,6 +167,31 @@ def main(argv=None) -> None:
         {g: round(float(v), 4) for g, v in zip(names, f0)}))
 
     pulse_space = tuple(pipe.model.pulse_space)
+    P0 = pulses0.shape[-1]
+    if args.pulse_params and args.pulse_params > P0:
+        if P0 != 2:
+            raise ValueError("--pulse_params widening expects a 2-parameter "
+                             f"source model, got P={P0}")
+        # widen (φ, τ) → (φ, Ω[, Δ], τ) with the extra controls at their
+        # P=2-equivalent values, so step 0 reproduces the source fidelity
+        G, L, _ = pulses0.shape
+        # Ω starts at 1.0 (the P=2 implicit amplitude); the logits clip puts
+        # it at 0.9999 inside the open range — step 0 ≈ source fidelity
+        cols = [pulses0[..., 0], jnp.full((G, L), 1.0)]
+        extra = [("omega", (0.0, 1.0))]
+        if args.pulse_params == 4:
+            cols.append(jnp.zeros((G, L)))
+            extra.append(("delta", (-args.delta_range, args.delta_range)))
+        cols.append(pulses0[..., 1])
+        pulses0 = jnp.stack(cols, axis=-1)
+        pulse_space = (pulse_space[0], *extra, pulse_space[1])
+        f0w = evaluate_tables(pulses0, q_targets, monte_carlo=args.eval_mc,
+                              delta_std=args.delta_std,
+                              epsilon_std=args.epsilon_std,
+                              backend=args.backend)
+        print("widened P={} start E[F]: {}".format(
+            args.pulse_params,
+            {g: round(float(v), 4) for g, v in zip(names, f0w)}))
     pulses, history = finetune_pulse_tables(
         pulses0, q_targets, pulse_space, steps=args.steps,
         monte_carlo=args.monte_carlo, learning_rate=args.learning_rate,
