@@ -43,16 +43,19 @@ def model_gate_pulses(checkpoint: str, targets_packed: jax.Array,
                       *, max_pulses: int = 40, d_model: int = 512,
                       n_layers: int = 8, n_heads: int = 16,
                       drive2: bool = False, kak_features: bool = False,
-                      kak_tokens: bool = False) -> jax.Array:
+                      kak_tokens: bool = False,
+                      omega_min: float = 0.0) -> jax.Array:
     """Run the universal two-qubit model on packed ``(G, 2, 4, 4)`` targets.
 
+    ``checkpoint`` is a shipped ``.npz`` artifact or an Orbax ``dir:tag``.
     ``kak_tokens`` checkpoints take the host KAK featurization
     (``data.su4_targets.kak_input_tokens``) — computed here from the packed
-    targets."""
+    targets.  ``omega_min`` must match the training-time range map (the
+    sigmoid low edge is baked into the head's calibration)."""
     space = {"phi": (-3.15, 3.15), "tau": (0.1, 0.5)}
     if drive2:
         space = {"phi1": (-3.15, 3.15), "phi2": (-3.15, 3.15),
-                 "omega": (0.0, 1.0), "tau": (0.1, 0.5)}
+                 "omega": (omega_min, 1.0), "tau": (0.1, 0.5)}
     model = TwoQubitQOCTransformer(
         pulse_space=normalize_pulse_space(space),
         max_pulses=max_pulses, d_model=d_model, n_layers=n_layers,
@@ -64,8 +67,13 @@ def model_gate_pulses(checkpoint: str, targets_packed: jax.Array,
         U = (np.asarray(targets_packed[:, 0], np.float64)
              + 1j * np.asarray(targets_packed[:, 1], np.float64))
         inputs = jnp.asarray(kak_input_tokens(U))
-    params = load_params_npz(
-        checkpoint, model.init(jax.random.PRNGKey(0), inputs))
+    template = model.init(jax.random.PRNGKey(0), inputs)
+    if not checkpoint.endswith(".npz") and ":" in checkpoint:
+        from ..training.checkpoint import restore_checkpoint
+        base_dir, tag = checkpoint.rsplit(":", 1)
+        params, _ = restore_checkpoint(base_dir, tag, target=template)
+    else:
+        params = load_params_npz(checkpoint, template)
     return model.apply(params, inputs)
 
 
@@ -150,6 +158,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(4-parameter pulses); evaluate on it too")
     p.add_argument("--kak_features", action="store_true",
                    help="the checkpoint uses the Makhlin/KAK input token")
+    p.add_argument("--omega_min", type=float, default=0.0,
+                   help="Omega range low edge baked into the checkpoint's "
+                        "head at training time (two_qubit --omega_min)")
     p.add_argument("--kak_tokens", action="store_true",
                    help="the checkpoint uses the full KAK featurization "
                         "(data/su4_targets.py::kak_input_tokens)")
@@ -168,7 +179,7 @@ def main(argv=None) -> None:
     sigmas = [float(s) for s in args.sigmas.split(",")]
     system = SU4System(drive2=args.drive2)
     model_kw = dict(drive2=args.drive2, kak_features=args.kak_features,
-                    kak_tokens=args.kak_tokens)
+                    kak_tokens=args.kak_tokens, omega_min=args.omega_min)
 
     gates = named_two_qubit_targets()
     names = list(gates)
