@@ -65,6 +65,12 @@ MODEL_VARIANTS: Dict[str, Dict] = {
 # named gate; "pulse" variants render a shipped single-target pulse table.
 TWO_QUBIT_VARIANTS: Dict[str, Dict] = {
     "two_qubit_d512": {"checkpoint": str(_WEIGHTS_DIR / "two_qubit_d512.npz")},
+    # round-3 flagship: drive2 system + KAK-mixed targets + kak_tokens
+    # featurization — named edge-class gates (CZ/CNOT/iSWAP) now serve at
+    # high fidelity (docs/two_qubit_results.md §Named-gate coverage)
+    "two_qubit_d2_kak": {
+        "checkpoint": str(_WEIGHTS_DIR / "two_qubit_d2_kak.npz"),
+        "drive2": True, "kak_tokens": True, "omega_min": 0.05},
     "cz_robust": {"pulse_npz": str(_WEIGHTS_DIR / "cz_robust_pulse.npz")},
     # the dephasing-bound falsification pulse (direct drive on qubit 2)
     "cz_drive2": {"pulse_npz": str(_WEIGHTS_DIR / "cz_drive2_pulse.npz"),
@@ -109,8 +115,11 @@ def render_two_qubit_artifacts(variant: str, gate: str, out_dir: str,
                              f"available: {sorted(targets)}")
         u_target = targets[gate]
         packed = SU4System.pack_target(u_target[None])
+        model_kw = {k: spec[k] for k in
+                    ("drive2", "kak_features", "kak_tokens", "omega_min")
+                    if k in spec}
         pulses = np.asarray(
-            model_gate_pulses(spec["checkpoint"], packed)[0])
+            model_gate_pulses(spec["checkpoint"], packed, **model_kw)[0])
         label = f"{variant}:{gate}"
 
     out = Path(out_dir)
