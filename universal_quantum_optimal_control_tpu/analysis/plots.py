@@ -207,7 +207,8 @@ def plot_pulse_param(pulses, save_path: Optional[str] = None,
     import matplotlib.pyplot as plt
 
     p = np.asarray(pulses)
-    phi, tau = p[:, 0], p[:, 1]
+    # channel convention across P ∈ {2, 3, 4}: φ first, τ last
+    phi, tau = p[:, 0], p[:, -1]
     t_cum = np.concatenate([[0.0], np.cumsum(tau)]) / math.pi
 
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4))

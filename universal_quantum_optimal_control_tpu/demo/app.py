@@ -57,6 +57,13 @@ MODEL_VARIANTS: Dict[str, Dict] = {
         "config": str(_CONFIG_DIR / "universal_single_qubit.json"),
         "checkpoint": str(_WEIGHTS_DIR / "length100.npz"),
         "gate_bundle": str(_WEIGHTS_DIR / "length100_gates.npz")},
+    # the 4-parameter (φ, Ω, Δ, τ) polish — the reference's full declared
+    # space (test.py:16-18): the detuning control beats the P=2 GRAPE
+    # ceiling on every named gate (0.9566–0.9583 vs 0.9536–0.9558 at σ=1)
+    "length_100_gates_p4": {
+        "config": str(_CONFIG_DIR / "universal_single_qubit.json"),
+        "checkpoint": str(_WEIGHTS_DIR / "length100.npz"),
+        "gate_bundle": str(_WEIGHTS_DIR / "length100_gates_p4.npz")},
 }
 
 
@@ -237,9 +244,12 @@ def render_artifacts(variant: str, x: float, y: float, z: float, theta: float,
                                       random_init)
 
     paths = {"csv": str(out / "pulses.csv")}
+    # single-qubit channel order across P ∈ {2, 3, 4} (core/propagate.py)
+    su2_cols = {2: ["phi", "tau"], 3: ["phi", "omega", "tau"],
+                4: ["phi", "omega", "delta", "tau"]}
     with open(paths["csv"], "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["phi", "tau"])
+        w.writerow(su2_cols[pulses.shape[-1]])
         w.writerows(pulses.tolist())
 
     paths["contour"] = str(out / "contour.png")
