@@ -204,13 +204,17 @@ class TwoQubitQOCTransformer(nn.Module):
 
 
 def transfer_encoder_params(src_params: Dict[str, Any],
-                            dst_params: Dict[str, Any]) -> Dict[str, Any]:
+                            dst_params: Dict[str, Any],
+                            also: tuple = ()) -> Dict[str, Any]:
     """Copy every shape-matching encoder block from a single-qubit checkpoint
     into a two-qubit parameter tree (the "finetuned single-qubit pretraining"
     path of BASELINE.json configs[4]).
 
     Projection and head layers keep the destination init (their input/output
-    dims differ between the tasks).  Returns a new parameter tree.
+    dims differ between the tasks); ``also`` names additional top-level
+    modules to copy when shapes match (e.g. ``("unitary_proj",)`` for
+    same-featurization transfers such as single-qubit P=2 → P=4).
+    Returns a new parameter tree.
     """
     src = src_params["params"] if "params" in src_params else src_params
     dst_outer = dict(dst_params)
@@ -218,7 +222,8 @@ def transfer_encoder_params(src_params: Dict[str, Any],
 
     transferred = 0
     for name, sub in src.items():
-        if not name.startswith("encoder_") or name not in dst:
+        if not (name.startswith("encoder_") or name in also) \
+                or name not in dst:
             continue
         src_leaves = jax.tree_util.tree_leaves(sub)
         dst_leaves = jax.tree_util.tree_leaves(dst[name])

@@ -81,6 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from the latest saved state in --save_path")
     p.add_argument("--epochs_per_band", type=int, default=None,
                    help="alias for --num_epoch (epochs per curriculum band)")
+    p.add_argument("--pretrained_encoder", type=str, default=None,
+                   help="shipped flagship .npz whose encoder + unitary_proj "
+                        "are transplanted before training (same SCORE-token "
+                        "featurization; only the head re-initializes) — the "
+                        "warm start for widened pulse-space runs (P=3/4)")
     p.add_argument("--finetune_base", type=str, default=None,
                    help="path to a base pulse table (.npz with 'pulses' or "
                         ".csv) for the finetune blend; implied by a string "
@@ -149,6 +154,24 @@ def main(argv=None) -> None:
     train_rv, train_qt = build_su2_dataset(k1, args.train_size, random=False)
     eval_rv, eval_qt = build_su2_dataset(k2, args.eval_size, random=True)
 
+    params = None
+    if args.pretrained_encoder:
+        from ..models.serialization import load_params_npz
+        from ..models.two_qubit import transfer_encoder_params
+
+        src_model = UniversalQOCTransformer(**{
+            **model_params,
+            "pulse_space": normalize_pulse_space(
+                {"phi": (-3.15, 3.15), "tau": (0.1, 0.5)}),
+            "finetune": False})
+        rv0 = jnp.asarray([[1.0, 0.0, 0.0, 3.14159265]], jnp.float32)
+        src = load_params_npz(args.pretrained_encoder,
+                              src_model.init(jax.random.PRNGKey(0), rv0))
+        params = trainer.init_params(train_rv[:2])
+        params = transfer_encoder_params(src, params,
+                                         also=("unitary_proj",))
+        print(f"transferred encoder from {args.pretrained_encoder}")
+
     # reference curriculum: delta_std in {0.4, 0.7, 1.0}, eps_std 0.05
     curriculum = [CurriculumBand(d) for d in (0.4, 0.7, 1.0)]
 
@@ -156,7 +179,8 @@ def main(argv=None) -> None:
                        echo=True) as logger:
         params, history = trainer.train(
             train_rv, train_qt, eval_rv, eval_qt,
-            curriculum=curriculum, save_dir=args.save_path, logger=logger)
+            curriculum=curriculum, params=params,
+            save_dir=args.save_path, logger=logger)
 
     best = max(b["best_fid"] for b in history["bands"])
     print(f"done; best eval fidelity across bands: {best:.4f}")
