@@ -356,3 +356,27 @@ def test_shipped_p4_gate_bundle_beats_the_two_param_ceiling():
     f, se = mc_fidelity_estimate(pulses, q_t, delta_std=1.0,
                                  monte_carlo=4000)
     assert f > 0.945, (f, se)
+
+
+def test_shipped_p4_universal_model_beats_the_p2_flagship():
+    """The 4-parameter universal flagship (length100_p4.npz — the
+    reference's full declared pulse space, trained end-to-end through the
+    P=4 fused kernels with the P=2 flagship's encoder transplanted): bands
+    0.9943/0.9863/0.9629 vs the P=2 flagship's 0.9936/0.9802/0.9500, and
+    every named gate at 0.9613-0.9626 at sigma=1 (M=20k on v5e) — above
+    the P=2 single-target GRAPE ceiling (0.9536-0.9558).  Here: serve X
+    through the demo path and require E[F](sigma=1) > 0.955 (P=2 ceiling
+    0.9538; MC margin ~9 sigma at M=4000)."""
+    from universal_quantum_optimal_control_tpu.analysis import (
+        mc_fidelity_estimate,
+    )
+    from universal_quantum_optimal_control_tpu.demo import app
+
+    app.load_pipeline.cache_clear()
+    pulses, q_t = app.compute_pulses("length_100_p4", 1.0, 0.0, 0.0,
+                                     float(np.pi))
+    assert pulses.shape == (100, 4)
+    f, se = mc_fidelity_estimate(pulses, q_t, delta_std=1.0,
+                                 monte_carlo=4000)
+    assert f > 0.955, (f, se)
+    app.load_pipeline.cache_clear()

@@ -57,6 +57,12 @@ MODEL_VARIANTS: Dict[str, Dict] = {
         "config": str(_CONFIG_DIR / "universal_single_qubit.json"),
         "checkpoint": str(_WEIGHTS_DIR / "length100.npz"),
         "gate_bundle": str(_WEIGHTS_DIR / "length100_gates.npz")},
+    # the UNIVERSAL model in the reference's full declared 4-parameter
+    # space (test.py:16-18): beats the P=2 flagship at every curriculum
+    # band (0.9943/0.9863/0.9629 vs 0.9936/0.9802/0.9500)
+    "length_100_p4": {
+        "config": str(_CONFIG_DIR / "universal_single_qubit_p4.json"),
+        "checkpoint": str(_WEIGHTS_DIR / "length100_p4.npz")},
     # the 4-parameter (φ, Ω, Δ, τ) polish — the reference's full declared
     # space (test.py:16-18): the detuning control beats the P=2 GRAPE
     # ceiling on every named gate (0.9566–0.9583 vs 0.9536–0.9558 at σ=1)
