@@ -63,12 +63,13 @@ MODEL_VARIANTS: Dict[str, Dict] = {
     "length_100_p4": {
         "config": str(_CONFIG_DIR / "universal_single_qubit_p4.json"),
         "checkpoint": str(_WEIGHTS_DIR / "length100_p4.npz")},
-    # the 4-parameter (φ, Ω, Δ, τ) polish — the reference's full declared
-    # space (test.py:16-18): the detuning control beats the P=2 GRAPE
-    # ceiling on every named gate (0.9566–0.9583 vs 0.9536–0.9558 at σ=1)
+    # the 4-parameter (φ, Ω, Δ, τ) per-gate polish of the P=4 universal
+    # flagship — the best single-target tables in the repo (0.9630–0.9643
+    # at σ=1 vs the P=2 GRAPE ceiling 0.9536–0.9558); falls back to the
+    # P=4 universal model for non-named requests
     "length_100_gates_p4": {
-        "config": str(_CONFIG_DIR / "universal_single_qubit.json"),
-        "checkpoint": str(_WEIGHTS_DIR / "length100.npz"),
+        "config": str(_CONFIG_DIR / "universal_single_qubit_p4.json"),
+        "checkpoint": str(_WEIGHTS_DIR / "length100_p4.npz"),
         "gate_bundle": str(_WEIGHTS_DIR / "length100_gates_p4.npz")},
 }
 
