@@ -68,13 +68,25 @@ def _cartan_exp(c: np.ndarray) -> np.ndarray:
 
 
 def kak_targets(rng: np.random.Generator, n: int,
-                c_max: float = np.pi / 4) -> np.ndarray:
+                c_max: float = np.pi / 4,
+                edge_frac: float = 0.0) -> np.ndarray:
     """``(n, 4, 4)`` SU(4) targets with uniform Weyl-chamber-box coverage:
     ``(A₁⊗A₂) · exp(−i Σ cₖ σₖσₖ) · (B₁⊗B₂)``, cₖ ~ U(0, c_max) sorted
     descending (the chamber convention c₁ ≥ c₂ ≥ c₃ ≥ 0).  Every local
     equivalence class in the box — including the CZ/CNOT edge (π/4, 0, 0)
-    and the iSWAP edge (π/4, π/4, 0) — is a positive-density neighborhood."""
-    c = np.sort(rng.uniform(0.0, c_max, size=(n, 3)), axis=1)[:, ::-1]
+    and the iSWAP edge (π/4, π/4, 0) — is a positive-density neighborhood.
+
+    ``edge_frac``: fraction of samples whose Cartan coordinates draw from a
+    U-shaped Beta(0.3, 0.3) instead of uniform — mass concentrates at the
+    chamber's corners and edges (iSWAP's (π/4, π/4, 0) corner is
+    vanishingly rare under the uniform box: it needs two coordinates at the
+    top AND one at the bottom simultaneously — the measured weak class of
+    the uniform-box-trained model, docs/two_qubit_results.md)."""
+    c = rng.uniform(0.0, 1.0, size=(n, 3))
+    n_edge = int(n * edge_frac)
+    if n_edge:
+        c[:n_edge] = rng.beta(0.3, 0.3, size=(n_edge, 3))
+    c = np.sort(c * c_max, axis=1)[:, ::-1]
     A1, A2 = haar_su2(rng, n), haar_su2(rng, n)
     B1, B2 = haar_su2(rng, n), haar_su2(rng, n)
     core = _cartan_exp(c)

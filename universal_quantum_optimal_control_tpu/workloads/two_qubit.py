@@ -27,7 +27,8 @@ from ..training.systems import SU4System
 
 def build_targets(key: jax.Array, n: int,
                   system: su4.TwoQubitSystem, mode: str = "products",
-                  phase_augment: bool = False) -> jax.Array:
+                  phase_augment: bool = False,
+                  edge_frac: float = 0.0) -> jax.Array:
     """Entangling targets packed ``(n, 2, 4, 4)``.
 
     ``mode="products"``: zero-disorder propagations of random pulse
@@ -65,7 +66,7 @@ def build_targets(key: jax.Array, n: int,
         parts.append(np.asarray(Ur) + 1j * np.asarray(Ui))
     if n_kak > 0:
         from ..data.su4_targets import kak_targets
-        parts.append(kak_targets(rng, n_kak))
+        parts.append(kak_targets(rng, n_kak, edge_frac=edge_frac))
 
     U = np.concatenate(parts, axis=0)
     if phase_augment:
@@ -129,6 +130,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "pulse products, Weyl-chamber KAK constructions "
                         "(cover the CZ/CNOT/iSWAP edge classes), or half "
                         "each (data/su4_targets.py)")
+    p.add_argument("--edge_frac", type=float, default=0.0,
+                   help="fraction of KAK targets drawn with U-shaped "
+                        "Beta(0.3, 0.3) Cartan coordinates — concentrates "
+                        "coverage on the Weyl-chamber corners/edges (the "
+                        "iSWAP corner is vanishingly rare under the uniform "
+                        "box; data/su4_targets.py::kak_targets)")
     p.add_argument("--phase_augment", action="store_true",
                    help="random global phase on every target — teaches the "
                         "raw-matrix featurization the phase invariance the "
@@ -196,10 +203,12 @@ def main(argv=None) -> None:
     k1, k2 = jax.random.split(key)
     train_t = build_targets(k1, args.train_size, system.system,
                             mode=args.target_mode,
-                            phase_augment=args.phase_augment)
+                            phase_augment=args.phase_augment,
+                            edge_frac=args.edge_frac)
     eval_t = build_targets(k2, args.eval_size, system.system,
                            mode=args.target_mode,
-                           phase_augment=args.phase_augment)
+                           phase_augment=args.phase_augment,
+                           edge_frac=args.edge_frac)
     train_x, eval_x = train_t, eval_t
     if args.kak_tokens:
         from ..data.su4_targets import kak_input_tokens
