@@ -502,3 +502,34 @@ def test_shipped_drive2_kak_model_serves_named_gates_robustly():
     # sqrt_swap 0.9726/0.9086 — thresholds leave wide MC margin
     assert table[:, 0].min() > 0.90, table
     assert table[:, 1].min() > 0.80, table
+
+
+def test_shipped_two_qubit_gate_bundle_loads_and_performs():
+    """The per-gate finetuned SU(4) bundle (two_qubit_gates.npz,
+    workloads/finetune_two_qubit_gates.py — the two-qubit analog of the
+    single-qubit length100_gates bundles): each shipped table's EXACT
+    sigma=0 fidelity must reproduce the recorded meta value (the eval is
+    deterministic — no MC tolerance needed beyond float32 propagation)."""
+    from pathlib import Path
+
+    from universal_quantum_optimal_control_tpu.optimizers.two_qubit_grape \
+        import named_two_qubit_targets
+    from universal_quantum_optimal_control_tpu.workloads \
+        .finetune_two_qubit_gates import load_two_qubit_gate_bundle
+
+    path = (Path(__file__).parent.parent
+            / "universal_quantum_optimal_control_tpu" / "demo" / "weights"
+            / "two_qubit_gates.npz")
+    tables, meta = load_two_qubit_gate_bundle(str(path))
+    assert meta["drive2"] is True
+    i0 = meta["sigmas"].index(0.0)
+    system = su4.TwoQubitSystem(drive2=True)
+    gates = named_two_qubit_targets()
+    for i, g in enumerate(meta["gates"]):
+        pulses = jnp.asarray(tables[g])[None]
+        z = jnp.zeros((1,), jnp.float32)
+        Ur, Ui = su4.propagate_su4(pulses, z, z, z, system)
+        TR = jnp.asarray(gates[g].real, jnp.float32)
+        TI = jnp.asarray(gates[g].imag, jnp.float32)
+        F = float(su4.fidelity_su4_ri(Ur, Ui, TR, TI)[0])
+        assert F >= meta["fidelity"][i][i0] - 2e-3, (g, F)

@@ -85,6 +85,13 @@ TWO_QUBIT_VARIANTS: Dict[str, Dict] = {
     "two_qubit_d2_kak": {
         "checkpoint": str(_WEIGHTS_DIR / "two_qubit_d2_kak.npz"),
         "drive2": True, "kak_tokens": True, "omega_min": 0.05},
+    # per-gate finetuned SU(4) tables (workloads/finetune_two_qubit_gates):
+    # serves the polished/GRAPE table for named-gate requests, the flagship
+    # model for everything else (the two-qubit analog of length_100_gates)
+    "two_qubit_gates": {
+        "checkpoint": str(_WEIGHTS_DIR / "two_qubit_d2_kak.npz"),
+        "drive2": True, "kak_tokens": True, "omega_min": 0.05,
+        "gate_bundle": str(_WEIGHTS_DIR / "two_qubit_gates.npz")},
     "cz_robust": {"pulse_npz": str(_WEIGHTS_DIR / "cz_robust_pulse.npz")},
     # the dephasing-bound falsification pulse (direct drive on qubit 2)
     "cz_drive2": {"pulse_npz": str(_WEIGHTS_DIR / "cz_drive2_pulse.npz"),
@@ -121,20 +128,32 @@ def render_two_qubit_artifacts(variant: str, gate: str, out_dir: str,
         label = variant
     else:
         from ..optimizers.two_qubit_grape import named_two_qubit_targets
-        from ..workloads.two_qubit_eval import model_gate_pulses
 
         targets = named_two_qubit_targets()
         if gate not in targets:
             raise ValueError(f"unknown gate {gate!r}; "
                              f"available: {sorted(targets)}")
         u_target = targets[gate]
-        packed = SU4System.pack_target(u_target[None])
-        model_kw = {k: spec[k] for k in
-                    ("drive2", "kak_features", "kak_tokens", "omega_min")
-                    if k in spec}
-        pulses = np.asarray(
-            model_gate_pulses(spec["checkpoint"], packed, **model_kw)[0])
         label = f"{variant}:{gate}"
+        bundle_path = spec.get("gate_bundle")
+        if bundle_path and Path(bundle_path).exists():
+            from ..workloads.finetune_two_qubit_gates import (
+                load_two_qubit_gate_bundle,
+            )
+            tables, _ = load_two_qubit_gate_bundle(bundle_path)
+        else:
+            tables = {}
+        if gate in tables:
+            pulses = np.asarray(tables[gate])
+        else:
+            from ..workloads.two_qubit_eval import model_gate_pulses
+
+            packed = SU4System.pack_target(u_target[None])
+            model_kw = {k: spec[k] for k in
+                        ("drive2", "kak_features", "kak_tokens", "omega_min")
+                        if k in spec}
+            pulses = np.asarray(
+                model_gate_pulses(spec["checkpoint"], packed, **model_kw)[0])
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
