@@ -182,3 +182,45 @@ def test_grape_direct_params_are_batch_independent():
     assert pulses.shape == (100, 5, 2)
     # broadcast: every row is the same table
     np.testing.assert_allclose(np.asarray(pulses[0]), np.asarray(pulses[99]))
+
+
+def test_loose_npz_tree_cross_shape_encoder_transplant(tmp_path):
+    """`load_params_npz_tree` + `transfer_encoder_params` must warm-start a
+    model whose HEAD differs from the source (P=2 L=8 -> P=4 L=16) — the
+    widened-pulse-space path `universal_single_qubit --pretrained_encoder`
+    uses for the length-400 P=4 flagship (a strict template load cannot
+    express this: head shapes differ)."""
+    from universal_quantum_optimal_control_tpu.models.serialization import (
+        load_params_npz_tree,
+        save_params_npz,
+    )
+    from universal_quantum_optimal_control_tpu.models.two_qubit import (
+        transfer_encoder_params,
+    )
+
+    rv = jnp.asarray([[1.0, 0.0, 0.0, np.pi]], jnp.float32)
+    src_model = tiny_model()
+    src_params = src_model.init(jax.random.PRNGKey(0), rv)
+    path = str(tmp_path / "src.npz")
+    save_params_npz(path, src_params)
+
+    dst_model = tiny_model(
+        max_pulses=16,
+        pulse_space=normalize_pulse_space(
+            {"Delta": (-5.0, 5.0), "Omega": (0.05, 1.0),
+             "phi": (-3.15, 3.15), "tau": (0.1, 0.5)}))
+    dst_params = dst_model.init(jax.random.PRNGKey(1), rv)
+
+    src = load_params_npz_tree(path)
+    merged = transfer_encoder_params(src, dst_params, also=("unitary_proj",))
+
+    # every encoder block + unitary_proj now equals the source bit-for-bit
+    for name in list(src["params"]):
+        if not (name.startswith("encoder_") or name == "unitary_proj"):
+            continue
+        for a, b in zip(jax.tree_util.tree_leaves(src["params"][name]),
+                        jax.tree_util.tree_leaves(merged["params"][name])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the head keeps the destination init (shapes differ from source)
+    out = dst_model.apply(merged, rv)
+    assert out.shape == (1, 16, 4)

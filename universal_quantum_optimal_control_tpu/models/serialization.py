@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["save_params_npz", "load_params_npz"]
+__all__ = ["save_params_npz", "load_params_npz", "load_params_npz_tree"]
 
 _SEP = "//"
 
@@ -37,6 +37,23 @@ def save_params_npz(path: str, params: Any, dtype=None) -> None:
     if dtype is not None:
         flat = {k: v.astype(dtype) for k, v in flat.items()}
     np.savez_compressed(path, **flat)
+
+
+def load_params_npz_tree(path: str, dtype=jnp.float32) -> Dict[str, Any]:
+    """Load a .npz saved by :func:`save_params_npz` as a nested dict WITHOUT
+    a target structure (keys are ``//``-joined tree paths, so the nesting is
+    recoverable).  For partial/shape-tolerant uses — e.g. encoder transplants
+    between models whose heads differ (P=2 → P=4, L=100 → L=400), where a
+    strict :func:`load_params_npz` template cannot be built."""
+    data = np.load(path)
+    tree: Dict[str, Any] = {}
+    for key in data.files:
+        node = tree
+        parts = key.split(_SEP)
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(data[key], dtype=dtype)
+    return tree
 
 
 def load_params_npz(path: str, target: Any, dtype=jnp.float32) -> Any:

@@ -32,6 +32,10 @@ from ..parallel.mc_parallel import mean_fidelity_local
 
 __all__ = ["main", "finetune_pulse_tables", "load_gate_bundle"]
 
+from pathlib import Path as _Path
+
+_WEIGHTS = _Path(__file__).parent.parent / "demo" / "weights"
+
 
 def _logits_from_pulses(pulses: jnp.ndarray, low: jnp.ndarray,
                         high: jnp.ndarray) -> jnp.ndarray:
@@ -139,7 +143,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--delta_range", type=float, default=5.0,
                    help="detuning control range (-x, x) for --pulse_params 4 "
                         "(the reference declares (-5, 5))")
-    p.add_argument("--out", default="demo/weights/length100_gates.npz")
+    p.add_argument("--out", default=str(_WEIGHTS / "length100_gates.npz"))
     return p
 
 

@@ -156,17 +156,13 @@ def main(argv=None) -> None:
 
     params = None
     if args.pretrained_encoder:
-        from ..models.serialization import load_params_npz
+        # structure-free load: the source may have any head shape (P=2 or
+        # P=4, any max_pulses) — only the shape-matching encoder blocks and
+        # unitary_proj transplant
+        from ..models.serialization import load_params_npz_tree
         from ..models.two_qubit import transfer_encoder_params
 
-        src_model = UniversalQOCTransformer(**{
-            **model_params,
-            "pulse_space": normalize_pulse_space(
-                {"phi": (-3.15, 3.15), "tau": (0.1, 0.5)}),
-            "finetune": False})
-        rv0 = jnp.asarray([[1.0, 0.0, 0.0, 3.14159265]], jnp.float32)
-        src = load_params_npz(args.pretrained_encoder,
-                              src_model.init(jax.random.PRNGKey(0), rv0))
+        src = load_params_npz_tree(args.pretrained_encoder)
         params = trainer.init_params(train_rv[:2])
         params = transfer_encoder_params(src, params,
                                          also=("unitary_proj",))
