@@ -203,3 +203,21 @@ def test_shipped_grape_pulse_dominates_baselines():
         delta_std=1.0, monte_carlo=4000)
     assert f_grape > 0.9, f_grape
     assert f_grape > f_score + 0.1, (f_grape, f_score)
+
+
+def test_two_qubit_bundle_figure_renders(tmp_path):
+    """The combined bundle robustness figure (analysis/two_qubit_bundle_figure)
+    renders one curve per shipped gate and the curves decay with sigma."""
+    from universal_quantum_optimal_control_tpu.analysis import (
+        two_qubit_bundle_figure as bf,
+    )
+
+    out = tmp_path / "bundle.png"
+    curves = bf.render_bundle_figure(
+        bf._DEFAULT_BUNDLE, str(out), monte_carlo=128,
+        stds=[0.05, 0.3])
+    assert out.stat().st_size > 10000
+    assert len(curves) == 5
+    for g, (s, mean, se) in curves.items():
+        assert mean[0] > 0.95, (g, mean)   # near-exact at sigma=0.05
+        assert mean[1] < mean[0], (g, mean)  # decays with disorder
