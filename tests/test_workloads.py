@@ -380,3 +380,47 @@ def test_shipped_p4_universal_model_beats_the_p2_flagship():
                                  monte_carlo=4000)
     assert f > 0.955, (f, se)
     app.load_pipeline.cache_clear()
+
+
+def test_shipped_length400_p4_universal_model_loads_and_performs():
+    """The L=400 4-parameter universal flagship (length400_p4.npz —
+    reference length_400 budget with relu-zeroable tau, NO base-pulse
+    blend): bands 0.9968/0.9853/0.9581 on v5e; named gates 0.9570-0.9585
+    at sigma=1 (M=200k).  Serve X through the demo path and require
+    E[F](sigma=1) > 0.95 (MC margin ~5 sigma at M=4000)."""
+    from universal_quantum_optimal_control_tpu.analysis import (
+        mc_fidelity_estimate,
+    )
+    from universal_quantum_optimal_control_tpu.demo import app
+
+    app.load_pipeline.cache_clear()
+    pulses, q_t = app.compute_pulses("length_400_p4", 1.0, 0.0, 0.0,
+                                     float(np.pi))
+    assert pulses.shape == (400, 4)
+    # relu-zeroable tau: the model must actually USE the longer budget
+    # (some nonzero segments) while being free to zero others
+    assert float(np.asarray(pulses)[:, 3].max()) > 0.0
+    f, se = mc_fidelity_estimate(pulses, q_t, delta_std=1.0,
+                                 monte_carlo=4000)
+    assert f > 0.95, (f, se)
+    app.load_pipeline.cache_clear()
+
+
+def test_polish_box_clamps_zeroable_tau():
+    """Regression: polishing a model whose tau box is zeroable (low < 0,
+    reference length_400.json semantics) must clamp the polish box to
+    tau >= 0 — the raw box admits negative durations = time-reversed
+    evolution, a perfect unphysical echo that 'reaches' E[F]=0.9999 at
+    sigma=1 (observed before the guard)."""
+    from universal_quantum_optimal_control_tpu.workloads.finetune_gates import (
+        clamp_tau_nonnegative,
+    )
+
+    space = (("phi", (-3.15, 3.15)), ("omega", (0.05, 1.0)),
+             ("delta", (-5.0, 5.0)), ("tau", (-0.5, 0.5)))
+    out = clamp_tau_nonnegative(space)
+    assert out[3] == ("tau", (0.0, 0.5))
+    # non-tau channels untouched (delta is legitimately signed)
+    assert out[:3] == space[:3]
+    # reference "t" alias also guarded; already-positive boxes unchanged
+    assert clamp_tau_nonnegative((("t", (0.1, 0.5)),)) == (("t", (0.1, 0.5)),)

@@ -71,6 +71,14 @@ MODEL_VARIANTS: Dict[str, Dict] = {
         "config": str(_CONFIG_DIR / "universal_single_qubit_p4.json"),
         "checkpoint": str(_WEIGHTS_DIR / "length100_p4.npz"),
         "gate_bundle": str(_WEIGHTS_DIR / "length100_gates_p4.npz")},
+    # the 4-parameter universal model at the reference's L=400 budget
+    # (τ ∈ (−0.5, 0.5), relu-zeroable segments — reference length_400.json
+    # semantics, minus the blend: no base pulse needed at P=4).  Bands
+    # 0.9968/0.9853/0.9581 vs the P=2 blend's 0.9980/0.9844/0.9566
+    # (better at σ ≥ 0.7, and universal without a base pulse)
+    "length_400_p4": {
+        "config": str(_CONFIG_DIR / "universal_single_qubit_length400_p4.json"),
+        "checkpoint": str(_WEIGHTS_DIR / "length400_p4.npz")},
 }
 
 

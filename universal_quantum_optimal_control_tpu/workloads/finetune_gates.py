@@ -37,6 +37,22 @@ from pathlib import Path as _Path
 _WEIGHTS = _Path(__file__).parent.parent / "demo" / "weights"
 
 
+def clamp_tau_nonnegative(pulse_space):
+    """PHYSICALITY GUARD for the polish box.
+
+    A zeroable-tau model box (low < 0 — reference length_400.json
+    semantics) is only physical because the model HEAD relu's tau.  The
+    polish optimizes the raw box, and a negative duration is
+    time-REVERSED evolution: exp(+i H tau) undoes the disorder term
+    exactly, a perfect unphysical echo (an unguarded polish "reaches"
+    E[F] = 0.9999 at sigma_delta = 1).  Clamp the tau channel's low to 0;
+    zeroed segments start at the bottom edge and can still revive."""
+    return tuple(
+        (name, (max(lo, 0.0), hi)) if name in ("tau", "t")
+        else (name, (lo, hi))
+        for name, (lo, hi) in pulse_space)
+
+
 def _logits_from_pulses(pulses: jnp.ndarray, low: jnp.ndarray,
                         high: jnp.ndarray) -> jnp.ndarray:
     """Invert the sigmoid range map so optimization starts EXACTLY at the
@@ -170,7 +186,9 @@ def main(argv=None) -> None:
         args.delta_std,
         {g: round(float(v), 4) for g, v in zip(names, f0)}))
 
-    pulse_space = tuple(pipe.model.pulse_space)
+    pulse_space = clamp_tau_nonnegative(tuple(pipe.model.pulse_space))
+    pulses0 = jnp.concatenate(
+        [pulses0[..., :-1], jnp.maximum(pulses0[..., -1:], 0.0)], axis=-1)
     P0 = pulses0.shape[-1]
     if args.pulse_params and args.pulse_params > P0:
         if P0 != 2:
