@@ -11,9 +11,11 @@ segments of a composite pulse sequence entirely in VMEM/registers:
   the chip instead of ``O(B·M)`` quaternions.
 
 Layout: the fused Monte-Carlo axis is reshaped to ``(rows, 128)`` so samples
-map onto VPU lanes; tiles of 128 rows are processed per grid step (swept).  The full
-``(B, L)`` pulse tables are tiny and live in SMEM, indexed by the target
-grid coordinate — one scalar broadcast per segment against the sample tile.
+map onto VPU lanes; tiles of 128 rows are processed per grid step (swept).
+The current target's ``(1, L)`` pulse rows stream into SMEM per grid step
+(block index map over a unit middle axis) — one scalar broadcast per segment
+against the sample tile, and SMEM use is ``O(L·P)`` regardless of the target
+batch (a full ``(B, L)`` residency capped ``B·L·P`` at the 1 MB SMEM budget).
 
 The backward pass is ALSO a fused Pallas kernel
 (:mod:`.propagate_pallas_bwd`): a reverse sweep that reconstructs prefix
@@ -151,12 +153,16 @@ def _segment_loop(pulse_refs, b, delta, eps, L, sincos="native",
                   schedule="serial"):
     """Shared kernel body: compose L segments over a (rows, 128) sample tile.
 
-    ``pulse_refs`` holds the FULL (B, L) pulse tables in SMEM (they are tiny)
-    — ``(phi, tau)``, ``(phi, omega, tau)``, or ``(phi, omega, det, tau)``
+    ``pulse_refs`` holds the CURRENT target's (1, L) pulse rows in SMEM,
+    streamed per grid step by the block index map (so SMEM use is L·P
+    words regardless of B — a full (B, L) residency capped B·L·P at the
+    1 MB SMEM budget and broke L=400 batch-200 training) —
+    ``(phi, tau)``, ``(phi, omega, tau)``, or ``(phi, omega, det, tau)``
     (the general pulse-space contract the reference declares at
     universal_model.py:31; test.py:16-18 declares the 4-parameter form).
-    ``b`` is the target index for this grid step.  delta/eps are (rows, 128)
-    sample arrays.  Returns the 4 quaternion components.
+    ``b`` is the row index INSIDE the block (always 0 with streamed
+    blocks).  delta/eps are (rows, 128) sample arrays.  Returns the 4
+    quaternion components.
 
     ``sincos``: "native" (libm sin/cos), "poly" (fused reduced-range minimax
     — see :func:`_sincos_poly`), "poly_fast" (one r² term shorter, ~1e-5
@@ -189,13 +195,13 @@ def _segment_loop(pulse_refs, b, delta, eps, L, sincos="native",
 
     def segment(k):
         nonlocal inv_anorm
-        phi = pulse_refs[0][b, k]
-        tau = pulse_refs[-1][b, k]
+        phi = pulse_refs[0][0, 0, k]
+        tau = pulse_refs[-1][0, 0, k]
         zax = delta
         if amp:
-            om = jnp.maximum(om_ref[b, k], 0.0)
+            om = jnp.maximum(om_ref[0, 0, k], 0.0)
             if det:
-                zax = det_ref[b, k] + delta  # controllable detuning + disorder
+                zax = det_ref[0, 0, k] + delta  # controllable detuning + disorder
             # axis (Ω·cosφ, Ω·sinφ, Δ+δ): norm depends on the segment
             anorm2 = jnp.maximum(om * om + zax * zax, 1e-12)
             inv_anorm = jax.lax.rsqrt(anorm2)
@@ -233,10 +239,9 @@ def _segment_loop(pulse_refs, b, delta, eps, L, sincos="native",
 
 def _prop_kernel(*refs, L, sincos, schedule="serial"):
     *pulse_refs, delta_ref, eps_ref, out_ref = refs
-    b = pl.program_id(0)
     delta = delta_ref[0]
     eps = eps_ref[0]
-    qw, qx, qy, qz = _segment_loop(tuple(pulse_refs), b, delta, eps, L,
+    qw, qx, qy, qz = _segment_loop(tuple(pulse_refs), 0, delta, eps, L,
                                    sincos=sincos, schedule=schedule)
     out_ref[0, 0] = qw
     out_ref[0, 1] = qx
@@ -246,15 +251,14 @@ def _prop_kernel(*refs, L, sincos, schedule="serial"):
 
 def _fid_kernel(*refs, L, M_valid, tr, sincos, schedule="serial"):
     *pulse_refs, qt_ref, delta_ref, eps_ref, sum_ref = refs
-    b = pl.program_id(0)
     delta = delta_ref[0]
     eps = eps_ref[0]
-    qw, qx, qy, qz = _segment_loop(tuple(pulse_refs), b, delta, eps, L,
+    qw, qx, qy, qz = _segment_loop(tuple(pulse_refs), 0, delta, eps, L,
                                    sincos=sincos, schedule=schedule)
     # entanglement fidelity from quaternion inner product:
     # F = (4<q, qt>^2 + 2) / 6  (SCORE.py:168-183 in quaternion form)
-    inner = (qt_ref[b, 0] * qw + qt_ref[b, 1] * qx
-             + qt_ref[b, 2] * qy + qt_ref[b, 3] * qz)
+    inner = (qt_ref[0, 0, 0] * qw + qt_ref[0, 0, 1] * qx
+             + qt_ref[0, 0, 2] * qy + qt_ref[0, 0, 3] * qz)
     F = (4.0 * inner * inner + 2.0) / 6.0
     j = pl.program_id(1)
 
@@ -268,9 +272,9 @@ def _fid_kernel(*refs, L, M_valid, tr, sincos, schedule="serial"):
 
     @pl.when(j == 0)
     def _():
-        sum_ref[b, 0] = 0.0
+        sum_ref[0, 0, 0] = 0.0
 
-    sum_ref[b, 0] += jnp.sum(F)
+    sum_ref[0, 0, 0] += jnp.sum(F)
 
 
 def _pad_mc(*arrays):
@@ -341,14 +345,17 @@ def _propagate_mc_pallas_raw(pulses, delta, eps, tile_rows=_DEF_ROWS,
     delta_r = delta.reshape(B, rows, LANES)
     eps_r = eps.reshape(B, rows, LANES)
 
-    smem_spec = pl.BlockSpec((B, L), lambda b, j: (0, 0),
+    cols = tuple(c[:, None, :] for c in cols)  # (B, 1, L)
+    smem_spec = pl.BlockSpec((1, 1, L), lambda b, j: (b, 0, 0),
                              memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         functools.partial(_prop_kernel, L=L, sincos=sincos,
                           schedule=schedule),
         grid=(B, ntiles),
         in_specs=[
-            # full (B, L) pulse tables live in SMEM (tiny); indexed by program_id
+            # the current target's (1, L) pulse rows stream into SMEM per
+            # grid step (j revisits the same block, so the copy happens
+            # once per b) — SMEM use is L·P words regardless of B
             *([smem_spec] * len(cols)),
             pl.BlockSpec((1, tr, LANES), lambda b, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
@@ -413,7 +420,8 @@ def _mean_fid_raw(pulses, q_target, delta, eps, tile_rows=_DEF_ROWS,
     delta_r = delta.reshape(B, rows, LANES)
     eps_r = eps.reshape(B, rows, LANES)
 
-    smem_spec = pl.BlockSpec((B, L), lambda b, j: (0, 0),
+    cols = tuple(c[:, None, :] for c in cols)  # (B, 1, L)
+    smem_spec = pl.BlockSpec((1, 1, L), lambda b, j: (b, 0, 0),
                              memory_space=pltpu.SMEM)
     sums = pl.pallas_call(
         functools.partial(_fid_kernel, L=L,
@@ -422,23 +430,25 @@ def _mean_fid_raw(pulses, q_target, delta, eps, tile_rows=_DEF_ROWS,
         grid=(B, ntiles),
         in_specs=[
             *([smem_spec] * len(cols)),
-            pl.BlockSpec((B, 4), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 4), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tr, LANES), lambda b, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tr, LANES), lambda b, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        # scalar per-target reductions accumulate in a full (B, 1) SMEM block
-        out_specs=pl.BlockSpec((B, 1), lambda b, j: (0, 0),
+        # the per-target scalar reduction accumulates in a streamed (1, 1)
+        # SMEM block (resident across the j tiles of each target)
+        out_specs=pl.BlockSpec((1, 1, 1), lambda b, j: (b, 0, 0),
                                memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=B * M * (L * 40 + 10), transcendentals=B * M * (L * 4 + 2),
             bytes_accessed=B * (L * 8 + M * 8 + 4),
         ),
         interpret=_interpret(),
-    )(*cols, q_target, delta_r, eps_r)
-    return sums[:, 0] / M_orig
+    )(*cols, q_target[:, None, :], delta_r, eps_r)
+    return sums[:, 0, 0] / M_orig
 
 
 @jax.custom_vjp

@@ -95,7 +95,6 @@ def _bwd_kernel(*refs, L, P, sincos="native"):
     else:
         (phi_ref, tau_ref, delta_ref, eps_ref, g_ref,
          dphi_ref, dtau_ref, ddelta_ref, deps_ref) = refs
-    b = pl.program_id(0)
     j = pl.program_id(1)
     delta = delta_ref[0]
     eps = eps_ref[0]
@@ -109,12 +108,12 @@ def _bwd_kernel(*refs, L, P, sincos="native"):
     def _():
         # SMEM accepts only scalar stores: zero this target's rows one by one
         def zero_k(k, _):
-            dphi_ref[b, k] = 0.0
-            dtau_ref[b, k] = 0.0
+            dphi_ref[0, 0, k] = 0.0
+            dtau_ref[0, 0, k] = 0.0
             if amp:
-                dom_ref[b, k] = 0.0
+                dom_ref[0, 0, k] = 0.0
             if has_det:
-                ddet_ref[b, k] = 0.0
+                ddet_ref[0, 0, k] = 0.0
             return 0
         jax.lax.fori_loop(0, L, zero_k, 0)
 
@@ -123,16 +122,16 @@ def _bwd_kernel(*refs, L, P, sincos="native"):
 
     def seg(k):
         """Segment quaternion + the intermediates the chain rule reuses."""
-        phi = phi_ref[b, k]
-        tau = tau_ref[b, k]
+        phi = phi_ref[0, 0, k]
+        tau = tau_ref[0, 0, k]
         # φ keeps its parity sign: an axis flip is NOT a global
         # quaternion sign (only the half-angle may go sign-free)
         sphi, cphi = _sincos(phi, sincos[:-3] if sincos.endswith("_ns")
                              else sincos)
         if amp:
-            om_raw = om_ref[b, k]
+            om_raw = om_ref[0, 0, k]
             om = jnp.maximum(om_raw, 0.0)
-            zax = det_ref[b, k] + delta if has_det else delta
+            zax = det_ref[0, 0, k] + delta if has_det else delta
             a2 = jnp.maximum(om * om + zax * zax, 1e-12)
             inv = jax.lax.rsqrt(a2)
             n = a2 * inv
@@ -195,8 +194,8 @@ def _bwd_kernel(*refs, L, P, sincos="native"):
         ddel_s = -sn * h_del * Aw + ds_del * proj + s * Az
 
         # per-(b, k) pulse grads: reduce over the sample tile into SMEM
-        dphi_ref[b, k] += jnp.sum(dphi_s)
-        dtau_ref[b, k] += jnp.sum(dtau_s)
+        dphi_ref[0, 0, k] += jnp.sum(dphi_s)
+        dtau_ref[0, 0, k] += jnp.sum(dtau_s)
         if amp:
             # ∂q/∂Ω: dh/dΩ = ½τ(1+ε)·Ω/n; ds/dΩ = c·h_Ω/n − s·Ω/n²; plus the
             # direct s·(cφ, sφ) term on (x, y); gated on the Ω ≥ 0 clamp
@@ -204,9 +203,9 @@ def _bwd_kernel(*refs, L, P, sincos="native"):
             ds_om = c * h_om * inv - s * om * (inv * inv)
             dom_s = -sn * h_om * Aw + ds_om * proj + s * axy
             dom_s = jnp.where(om_raw > 0.0, dom_s, 0.0)
-            dom_ref[b, k] += jnp.sum(dom_s)
+            dom_ref[0, 0, k] += jnp.sum(dom_s)
         if has_det:
-            ddet_ref[b, k] += jnp.sum(ddel_s)
+            ddet_ref[0, 0, k] += jnp.sum(ddel_s)
 
         # update the conjugated left-suffix: conj(L_{k-1}) = conj(q_k) ⊗ cL
         cL_next = _hprod(_conj(q), cL)
@@ -250,7 +249,13 @@ def propagate_mc_vjp_pallas(pulses: jax.Array, delta: jax.Array,
     eps_r = eps.reshape(B, rows, LANES)
     g_r = jnp.moveaxis(g, -1, 1).reshape(B, 4, rows, LANES)
 
-    smem_spec = pl.BlockSpec((B, L), lambda b, j: (0, 0),
+    # per-target (1, L) SMEM streaming: inputs AND gradient accumulators
+    # stay resident across the j tiles of each target (j is the innermost
+    # grid axis), so the += reduction and the j==0 zero-init are exact while
+    # SMEM use is O(L·P) regardless of B (a full (B, L) residency capped
+    # B·L·P at the 1 MB SMEM budget)
+    cols = tuple(c[:, None, :] for c in cols)  # (B, 1, L)
+    smem_spec = pl.BlockSpec((1, 1, L), lambda b, j: (b, 0, 0),
                              memory_space=pltpu.SMEM)
     *dcols, ddelta, deps = pl.pallas_call(
         functools.partial(_bwd_kernel, L=L, P=P, sincos=sincos),
@@ -272,7 +277,7 @@ def propagate_mc_vjp_pallas(pulses: jax.Array, delta: jax.Array,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            *([jax.ShapeDtypeStruct((B, L), jnp.float32)] * P),
+            *([jax.ShapeDtypeStruct((B, 1, L), jnp.float32)] * P),
             jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32),
         ),
@@ -283,6 +288,6 @@ def propagate_mc_vjp_pallas(pulses: jax.Array, delta: jax.Array,
         interpret=_interpret(),
     )(*cols, delta_r, eps_r, g_r)
 
-    dpulses = jnp.stack(dcols, axis=-1)
+    dpulses = jnp.stack([d[:, 0, :] for d in dcols], axis=-1)
     return (dpulses, ddelta.reshape(B, M)[:, :M_orig],
             deps.reshape(B, M)[:, :M_orig])
