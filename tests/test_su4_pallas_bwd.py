@@ -132,7 +132,17 @@ def test_full_vjp_kernel_interpret_matches_xla_autodiff():
     the math).  On CPU the kernels self-select ``interpret=True``
     (``_interpret()``) — the lightweight pallas interpreter, NOT
     ``force_tpu_interpret_mode`` (whose Mosaic-semantics simulation takes
-    >40 min on this kernel); still minutes-slow, hence the slow marker."""
+    >40 min on this kernel).  Measured reality (2026-08, both before and
+    after the SMEM-streaming change): the interpret-mode FORWARD calls run
+    in ~25 s each, but XLA's CPU backend takes >45 min of single-core time
+    just to COMPILE the bwd kernel program (``slow_operation_alarm`` fires
+    on ``jit_su4_objective_vjp_from_product``) — the flat ~35-carry reverse
+    sweep with fully unrolled SoA matmul chains blows up CPU-backend
+    optimization, while the TPU/Mosaic compile of the same kernel is
+    seconds.  Run this on a multi-core box or not at all; the kernel
+    assembly is validated on real TPU hardware every round (grads <=8e-6
+    rel vs XLA at B in {2,8,200}, L in {3,24}, incl. the M=200 padding
+    mask — BENCHMARKS.md).  Hence the slow marker."""
     from universal_quantum_optimal_control_tpu.core import su4
     from universal_quantum_optimal_control_tpu.training.systems import (
         SU4System,

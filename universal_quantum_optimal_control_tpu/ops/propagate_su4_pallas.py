@@ -7,8 +7,9 @@ lanes live), so arithmetic runs at ~3% lane utilization.  This kernel flips
 the layout to structure-of-arrays: each of the 32 real numbers of a (re, im)
 4×4 unitary is a ``(rows, 128)`` vector over Monte-Carlo samples, and every
 4×4 complex matmul becomes 64 fully-vectorized FMA chains.  The running
-product stays in registers across a ``fori_loop`` over the L segments; pulse
-tables live in SMEM.
+product stays in registers across a ``fori_loop`` over the L segments; the
+current target's (1, L) pulse rows stream into SMEM per grid step (SMEM use
+is O(L) regardless of the target batch).
 
 Same physics contract as ``core.su4`` (which remains the autodiff/training
 path and the correctness oracle):
@@ -187,9 +188,9 @@ def _propagate_loop(pulse_refs, b, d1, d2, eps, L, *, xtalk,
     def body(k, carry):
         ur, ui = _unflatten(carry)
         ur, ui = _segment_body(
-            phi_ref[b, k], om_ref[b, k], tau_ref[b, k], d1, d2, eps, ur, ui,
+            phi_ref[0, 0, k], om_ref[0, 0, k], tau_ref[0, 0, k], d1, d2, eps, ur, ui,
             xtalk=xtalk, coupling=coupling, scaling=scaling,
-            phi2=(phi2_ref[b, k] if drive2 else None))
+            phi2=(phi2_ref[0, 0, k] if drive2 else None))
         return _flatten(ur, ui)
 
     flat = jax.lax.fori_loop(0, L, body, _flatten(er, ei))
@@ -209,8 +210,7 @@ def _unflatten(flat):
 
 def _prop_kernel(*refs, L, xtalk, coupling, scaling):
     *pulse_refs, d1_ref, d2_ref, eps_ref, out_ref = refs
-    b = pl.program_id(0)
-    ur, ui = _propagate_loop(tuple(pulse_refs), b, d1_ref[0],
+    ur, ui = _propagate_loop(tuple(pulse_refs), 0, d1_ref[0],
                              d2_ref[0], eps_ref[0], L, xtalk=xtalk,
                              coupling=coupling, scaling=scaling)
     for r in range(4):
@@ -221,9 +221,8 @@ def _prop_kernel(*refs, L, xtalk, coupling, scaling):
 
 def _fid_kernel(*refs, L, xtalk, coupling, scaling, M_valid, tile_rows):
     *pulse_refs, tr_ref, ti_ref, d1_ref, d2_ref, eps_ref, sum_ref = refs
-    b = pl.program_id(0)
     j = pl.program_id(1)
-    ur, ui = _propagate_loop(tuple(pulse_refs), b, d1_ref[0],
+    ur, ui = _propagate_loop(tuple(pulse_refs), 0, d1_ref[0],
                              d2_ref[0], eps_ref[0], L, xtalk=xtalk,
                              coupling=coupling, scaling=scaling)
     # Tr(U†T) = Σ_{rc} conj(U)·T; entanglement fidelity (|Tr|² + 4)/20
@@ -231,8 +230,8 @@ def _fid_kernel(*refs, L, xtalk, coupling, scaling, M_valid, tile_rows):
     im = jnp.zeros_like(d1_ref[0])
     for r in range(4):
         for c in range(4):
-            tr = tr_ref[b, 4 * r + c]
-            ti = ti_ref[b, 4 * r + c]
+            tr = tr_ref[0, 0, 4 * r + c]
+            ti = ti_ref[0, 0, 4 * r + c]
             re += ur[r][c] * tr + ui[r][c] * ti
             im += ur[r][c] * ti - ui[r][c] * tr
     F = (re * re + im * im + 4.0) / 20.0
@@ -245,9 +244,9 @@ def _fid_kernel(*refs, L, xtalk, coupling, scaling, M_valid, tile_rows):
 
     @pl.when(j == 0)
     def _():
-        sum_ref[b, 0] = 0.0
+        sum_ref[0, 0, 0] = 0.0
 
-    sum_ref[b, 0] += jnp.sum(F)
+    sum_ref[0, 0, 0] += jnp.sum(F)
 
 
 def _fid_prod_kernel(*refs, L, xtalk, coupling, scaling, M_valid, tile_rows):
@@ -258,9 +257,8 @@ def _fid_prod_kernel(*refs, L, xtalk, coupling, scaling, M_valid, tile_rows):
     forward-product rebuild (see ``propagate_su4_pallas_bwd``)."""
     (*pulse_refs, tr_ref, ti_ref, d1_ref, d2_ref, eps_ref,
      sum_ref, prod_ref) = refs
-    b = pl.program_id(0)
     j = pl.program_id(1)
-    ur, ui = _propagate_loop(tuple(pulse_refs), b, d1_ref[0],
+    ur, ui = _propagate_loop(tuple(pulse_refs), 0, d1_ref[0],
                              d2_ref[0], eps_ref[0], L, xtalk=xtalk,
                              coupling=coupling, scaling=scaling)
     for r in range(4):
@@ -271,8 +269,8 @@ def _fid_prod_kernel(*refs, L, xtalk, coupling, scaling, M_valid, tile_rows):
     im = jnp.zeros_like(d1_ref[0])
     for r in range(4):
         for c in range(4):
-            tr = tr_ref[b, 4 * r + c]
-            ti = ti_ref[b, 4 * r + c]
+            tr = tr_ref[0, 0, 4 * r + c]
+            ti = ti_ref[0, 0, 4 * r + c]
             re += ur[r][c] * tr + ui[r][c] * ti
             im += ur[r][c] * ti - ui[r][c] * tr
     F = (re * re + im * im + 4.0) / 20.0
@@ -285,9 +283,9 @@ def _fid_prod_kernel(*refs, L, xtalk, coupling, scaling, M_valid, tile_rows):
 
     @pl.when(j == 0)
     def _():
-        sum_ref[b, 0] = 0.0
+        sum_ref[0, 0, 0] = 0.0
 
-    sum_ref[b, 0] += jnp.sum(F)
+    sum_ref[0, 0, 0] += jnp.sum(F)
 
 
 def _pad_mc(*arrays):
@@ -352,7 +350,10 @@ def propagate_su4_mc_pallas(pulses, delta1, delta2, epsilon, *, xtalk=0.1,
     d2 = delta2.reshape(B, rows, LANES)
     ep = epsilon.reshape(B, rows, LANES)
 
-    smem = lambda: pl.BlockSpec((B, L), lambda b, j: (0, 0),
+    cols = tuple(c[:, None, :] for c in cols)  # (B, 1, L)
+    # per-target (1, 1, L) SMEM streaming (unit middle axis satisfies
+    # Mosaic's trailing-dims block rule) — same pattern as the SU(2) twin
+    smem = lambda: pl.BlockSpec((1, 1, L), lambda b, j: (b, 0, 0),
                                 memory_space=pltpu.SMEM)
     vmem = lambda: pl.BlockSpec((1, tr, LANES), lambda b, j: (b, j, 0),
                                 memory_space=pltpu.VMEM)
@@ -395,12 +396,14 @@ def mean_fidelity_su4_pallas(pulses, target_re, target_im, delta1, delta2,
     d1 = delta1.reshape(B, rows, LANES)
     d2 = delta2.reshape(B, rows, LANES)
     ep = epsilon.reshape(B, rows, LANES)
-    t_r = target_re.reshape(B, 16)
-    t_i = target_im.reshape(B, 16)
+    t_r = target_re.reshape(B, 1, 16)
+    t_i = target_im.reshape(B, 1, 16)
 
-    smem_bl = lambda: pl.BlockSpec((B, L), lambda b, j: (0, 0),
+    cols = tuple(c[:, None, :] for c in cols)  # (B, 1, L)
+    # per-target (1, 1, ·) SMEM streaming — see the SU(2) twin for the rule
+    smem_bl = lambda: pl.BlockSpec((1, 1, L), lambda b, j: (b, 0, 0),
                                    memory_space=pltpu.SMEM)
-    smem_bt = lambda: pl.BlockSpec((B, 16), lambda b, j: (0, 0),
+    smem_bt = lambda: pl.BlockSpec((1, 1, 16), lambda b, j: (b, 0, 0),
                                    memory_space=pltpu.SMEM)
     vmem = lambda: pl.BlockSpec((1, tr, LANES), lambda b, j: (b, j, 0),
                                 memory_space=pltpu.VMEM)
@@ -412,16 +415,16 @@ def mean_fidelity_su4_pallas(pulses, target_re, target_im, delta1, delta2,
         grid=(B, ntiles),
         in_specs=[*([smem_bl()] * len(cols)), smem_bt(), smem_bt(),
                   vmem(), vmem(), vmem()],
-        out_specs=pl.BlockSpec((B, 1), lambda b, j: (0, 0),
+        out_specs=pl.BlockSpec((1, 1, 1), lambda b, j: (b, 0, 0),
                                memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=B * M * (L * 4700 + 70), transcendentals=B * L * 2,
             bytes_accessed=B * (L * 12 + M * 12 + 132),
         ),
         interpret=_interpret(),
     )(*cols, t_r, t_i, d1, d2, ep)
-    return sums[:, 0] / M_orig
+    return sums[:, 0, 0] / M_orig
 
 
 @functools.partial(jax.jit,
@@ -449,12 +452,14 @@ def mean_fidelity_su4_pallas_with_product(pulses, target_re, target_im,
     d1 = delta1.reshape(B, rows, LANES)
     d2 = delta2.reshape(B, rows, LANES)
     ep = epsilon.reshape(B, rows, LANES)
-    t_r = target_re.reshape(B, 16)
-    t_i = target_im.reshape(B, 16)
+    t_r = target_re.reshape(B, 1, 16)
+    t_i = target_im.reshape(B, 1, 16)
 
-    smem_bl = lambda: pl.BlockSpec((B, L), lambda b, j: (0, 0),
+    cols = tuple(c[:, None, :] for c in cols)  # (B, 1, L)
+    # per-target (1, 1, ·) SMEM streaming — see the SU(2) twin for the rule
+    smem_bl = lambda: pl.BlockSpec((1, 1, L), lambda b, j: (b, 0, 0),
                                    memory_space=pltpu.SMEM)
-    smem_bt = lambda: pl.BlockSpec((B, 16), lambda b, j: (0, 0),
+    smem_bt = lambda: pl.BlockSpec((1, 1, 16), lambda b, j: (b, 0, 0),
                                    memory_space=pltpu.SMEM)
     vmem = lambda: pl.BlockSpec((1, tr, LANES), lambda b, j: (b, j, 0),
                                 memory_space=pltpu.VMEM)
@@ -467,13 +472,13 @@ def mean_fidelity_su4_pallas_with_product(pulses, target_re, target_im,
         in_specs=[*([smem_bl()] * len(cols)), smem_bt(), smem_bt(),
                   vmem(), vmem(), vmem()],
         out_specs=(
-            pl.BlockSpec((B, 1), lambda b, j: (0, 0),
+            pl.BlockSpec((1, 1, 1), lambda b, j: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 32, tr, LANES), lambda b, j: (b, 0, j, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, 32, rows, LANES), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
@@ -482,4 +487,4 @@ def mean_fidelity_su4_pallas_with_product(pulses, target_re, target_im,
         ),
         interpret=_interpret(),
     )(*cols, t_r, t_i, d1, d2, ep)
-    return sums[:, 0] / M_orig, prod
+    return sums[:, 0, 0] / M_orig, prod

@@ -247,13 +247,13 @@ def _fid_cotangent(Pr, Pi, tr_ref, ti_ref, gbar_ref, b, j, shape_like, *,
     F = (re² + im² + 4)/20, re + i·im = Tr(U^H T); padded samples masked."""
     re = jnp.zeros_like(shape_like)
     im = jnp.zeros_like(shape_like)
-    T_r = [[tr_ref[b, 4 * r + c] for c in range(4)] for r in range(4)]
-    T_i = [[ti_ref[b, 4 * r + c] for c in range(4)] for r in range(4)]
+    T_r = [[tr_ref[0, 0, 4 * r + c] for c in range(4)] for r in range(4)]
+    T_i = [[ti_ref[0, 0, 4 * r + c] for c in range(4)] for r in range(4)]
     for r in range(4):
         for c in range(4):
             re += Pr[r][c] * T_r[r][c] + Pi[r][c] * T_i[r][c]
             im += Pr[r][c] * T_i[r][c] - Pi[r][c] * T_r[r][c]
-    gF = gbar_ref[b, 0] * inv_M * (2.0 / 20.0)
+    gF = gbar_ref[0, 0, 0] * inv_M * (2.0 / 20.0)
     if M_valid is not None:
         row = jax.lax.broadcasted_iota(jnp.int32, re.shape, 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, re.shape, 1)
@@ -277,7 +277,6 @@ def _bwd_kernel(*refs, L, xtalk, coupling, scaling, M_valid, inv_M,
          d1_ref, d2_ref, eps_ref, dphi_ref, dom_ref, dtau_ref,
          dd1_ref, dd2_ref, deps_ref) = refs
         phi2_ref = dphi2_ref = None
-    b = pl.program_id(0)
     j = pl.program_id(1)
     d1 = d1_ref[0]
     d2 = d2_ref[0]
@@ -286,19 +285,19 @@ def _bwd_kernel(*refs, L, xtalk, coupling, scaling, M_valid, inv_M,
     @pl.when(j == 0)
     def _():
         def zero_k(k, _):
-            dphi_ref[b, k] = 0.0
-            dom_ref[b, k] = 0.0
-            dtau_ref[b, k] = 0.0
+            dphi_ref[0, 0, k] = 0.0
+            dom_ref[0, 0, k] = 0.0
+            dtau_ref[0, 0, k] = 0.0
             if drive2:
-                dphi2_ref[b, k] = 0.0
+                dphi2_ref[0, 0, k] = 0.0
             return 0
         jax.lax.fori_loop(0, L, zero_k, 0)
 
     def seg_U(k):
         Ar, Ai, Kr, Ki, scal = _build_A(
-            phi_ref[b, k], om_ref[b, k], tau_ref[b, k], d1, d2, eps,
+            phi_ref[0, 0, k], om_ref[0, 0, k], tau_ref[0, 0, k], d1, d2, eps,
             xtalk=xtalk, coupling=coupling, scaling=scaling,
-            phi2=(phi2_ref[b, k] if drive2 else None))
+            phi2=(phi2_ref[0, 0, k] if drive2 else None))
         return Ar, Ai, Kr, Ki, scal
 
     # ---- forward: full product P = U_L ⋯ U_1 -----------------------------
@@ -313,7 +312,7 @@ def _bwd_kernel(*refs, L, xtalk, coupling, scaling, M_valid, inv_M,
     Pr, Pi = _unflatten2(P)
 
     # ---- output cotangent G from the fidelity ----------------------------
-    Gr, Gi = _fid_cotangent(Pr, Pi, tr_ref, ti_ref, gbar_ref, b, j, d1,
+    Gr, Gi = _fid_cotangent(Pr, Pi, tr_ref, ti_ref, gbar_ref, 0, j, d1,
                             M_valid=M_valid, inv_M=inv_M,
                             tile_rows=tile_rows)
 
@@ -342,11 +341,11 @@ def _bwd_kernel(*refs, L, xtalk, coupling, scaling, M_valid, inv_M,
          deps_s) = _param_grads_from_D(
             Dr, Di, Kr, Ki, scal, eps, zero, xtalk=xtalk, scaling=scaling)
 
-        dphi_ref[b, k] += jnp.sum(dphi_s)
-        dom_ref[b, k] += jnp.sum(dom_s)
-        dtau_ref[b, k] += jnp.sum(dtau_s)
+        dphi_ref[0, 0, k] += jnp.sum(dphi_s)
+        dom_ref[0, 0, k] += jnp.sum(dom_s)
+        dtau_ref[0, 0, k] += jnp.sum(dtau_s)
         if drive2:
-            dphi2_ref[b, k] += jnp.sum(dphi2_s)
+            dphi2_ref[0, 0, k] += jnp.sum(dphi2_s)
 
         # update conj-left-suffix: L_{k-1}^H = U_k^H L_k^H
         Lhr2, Lhi2 = _matmul_soa(Uhr, Uhi, Lhr, Lhi)
@@ -385,7 +384,6 @@ def _bwd_prod_kernel(*refs, L, xtalk, coupling, scaling, M_valid,
          d1_ref, d2_ref, eps_ref, prod_ref, dphi_ref, dom_ref, dtau_ref,
          dd1_ref, dd2_ref, deps_ref) = refs
         phi2_ref = dphi2_ref = None
-    b = pl.program_id(0)
     j = pl.program_id(1)
     d1 = d1_ref[0]
     d2 = d2_ref[0]
@@ -394,17 +392,17 @@ def _bwd_prod_kernel(*refs, L, xtalk, coupling, scaling, M_valid,
     @pl.when(j == 0)
     def _():
         def zero_k(k, _):
-            dphi_ref[b, k] = 0.0
-            dom_ref[b, k] = 0.0
-            dtau_ref[b, k] = 0.0
+            dphi_ref[0, 0, k] = 0.0
+            dom_ref[0, 0, k] = 0.0
+            dtau_ref[0, 0, k] = 0.0
             if drive2:
-                dphi2_ref[b, k] = 0.0
+                dphi2_ref[0, 0, k] = 0.0
             return 0
         jax.lax.fori_loop(0, L, zero_k, 0)
 
     Pr = [[prod_ref[0, 4 * r + c] for c in range(4)] for r in range(4)]
     Pi = [[prod_ref[0, 16 + 4 * r + c] for c in range(4)] for r in range(4)]
-    Gr, Gi = _fid_cotangent(Pr, Pi, tr_ref, ti_ref, gbar_ref, b, j, d1,
+    Gr, Gi = _fid_cotangent(Pr, Pi, tr_ref, ti_ref, gbar_ref, 0, j, d1,
                             M_valid=M_valid, inv_M=inv_M,
                             tile_rows=tile_rows)
     # recurrence seed: V_L = G·P^H (Ĝ for the top segment is V_L·U_L)
@@ -418,9 +416,9 @@ def _bwd_prod_kernel(*refs, L, xtalk, coupling, scaling, M_valid,
         dd1, dd2, de = carry[32], carry[33], carry[34]
 
         Ar, Ai, Kr, Ki, scal = _build_A(
-            phi_ref[b, k], om_ref[b, k], tau_ref[b, k], d1, d2, eps,
+            phi_ref[0, 0, k], om_ref[0, 0, k], tau_ref[0, 0, k], d1, d2, eps,
             xtalk=xtalk, coupling=coupling, scaling=scaling,
-            phi2=(phi2_ref[b, k] if drive2 else None))
+            phi2=(phi2_ref[0, 0, k] if drive2 else None))
         (Ukr, Uki), residuals = _expm_chain(Ar, Ai, scaling)
         # Ĝ_k = V_{k+1}·U_k
         Cr, Ci = _matmul_soa(Vr, Vi, Ukr, Uki)
@@ -430,11 +428,11 @@ def _bwd_prod_kernel(*refs, L, xtalk, coupling, scaling, M_valid,
          deps_s) = _param_grads_from_D(
             Dr, Di, Kr, Ki, scal, eps, zero, xtalk=xtalk, scaling=scaling)
 
-        dphi_ref[b, k] += jnp.sum(dphi_s)
-        dom_ref[b, k] += jnp.sum(dom_s)
-        dtau_ref[b, k] += jnp.sum(dtau_s)
+        dphi_ref[0, 0, k] += jnp.sum(dphi_s)
+        dom_ref[0, 0, k] += jnp.sum(dom_s)
+        dtau_ref[0, 0, k] += jnp.sum(dtau_s)
         if drive2:
-            dphi2_ref[b, k] += jnp.sum(dphi2_s)
+            dphi2_ref[0, 0, k] += jnp.sum(dphi2_s)
 
         # V_k = U_k^H·Ĝ_k
         Uhr, Uhi = _conjT(Ukr, Uki)
@@ -476,15 +474,17 @@ def su4_objective_vjp_from_product(pulses, target_re, target_im, delta1,
     d1 = delta1.reshape(B, rows, LANES)
     d2 = delta2.reshape(B, rows, LANES)
     ep = epsilon.reshape(B, rows, LANES)
-    t_r = target_re.reshape(B, 16)
-    t_i = target_im.reshape(B, 16)
-    gb = gbar.reshape(B, 1)
+    t_r = target_re.reshape(B, 1, 16)
+    t_i = target_im.reshape(B, 1, 16)
+    gb = gbar.reshape(B, 1, 1)
 
-    smem_bl = lambda: pl.BlockSpec((B, L), lambda b, j: (0, 0),
+    cols = tuple(c[:, None, :] for c in cols)  # (B, 1, L)
+    # per-target (1, 1, ·) SMEM streaming — see the SU(2) twin for the rule
+    smem_bl = lambda: pl.BlockSpec((1, 1, L), lambda b, j: (b, 0, 0),
                                    memory_space=pltpu.SMEM)
-    smem_bt = lambda: pl.BlockSpec((B, 16), lambda b, j: (0, 0),
+    smem_bt = lambda: pl.BlockSpec((1, 1, 16), lambda b, j: (b, 0, 0),
                                    memory_space=pltpu.SMEM)
-    smem_b1 = lambda: pl.BlockSpec((B, 1), lambda b, j: (0, 0),
+    smem_b1 = lambda: pl.BlockSpec((1, 1, 1), lambda b, j: (b, 0, 0),
                                    memory_space=pltpu.SMEM)
     vmem = lambda: pl.BlockSpec((1, tr, LANES), lambda b, j: (b, j, 0),
                                 memory_space=pltpu.VMEM)
@@ -501,7 +501,7 @@ def su4_objective_vjp_from_product(pulses, target_re, target_im, delta1,
                   smem_b1(), vmem(), vmem(), vmem(), prod_spec],
         out_specs=(*([smem_bl()] * n_dp), vmem(), vmem(), vmem()),
         out_shape=(
-            *([jax.ShapeDtypeStruct((B, L), jnp.float32)] * n_dp),
+            *([jax.ShapeDtypeStruct((B, 1, L), jnp.float32)] * n_dp),
             jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32),
@@ -513,7 +513,7 @@ def su4_objective_vjp_from_product(pulses, target_re, target_im, delta1,
         interpret=_interpret(),
     )(*cols, t_r, t_i, gb, d1, d2, ep, prod)
     *dp, dd1, dd2, de = outs
-    dpulses = _stack_dpulses(dp, Pn, drive2)
+    dpulses = _stack_dpulses([d[:, 0, :] for d in dp], Pn, drive2)
     return (dpulses, dd1.reshape(B, M)[:, :M_orig],
             dd2.reshape(B, M)[:, :M_orig],
             de.reshape(B, M)[:, :M_orig])
@@ -539,15 +539,17 @@ def su4_objective_vjp_pallas(pulses, target_re, target_im, delta1, delta2,
     d1 = delta1.reshape(B, rows, LANES)
     d2 = delta2.reshape(B, rows, LANES)
     ep = epsilon.reshape(B, rows, LANES)
-    t_r = target_re.reshape(B, 16)
-    t_i = target_im.reshape(B, 16)
-    gb = gbar.reshape(B, 1)
+    t_r = target_re.reshape(B, 1, 16)
+    t_i = target_im.reshape(B, 1, 16)
+    gb = gbar.reshape(B, 1, 1)
 
-    smem_bl = lambda: pl.BlockSpec((B, L), lambda b, j: (0, 0),
+    cols = tuple(c[:, None, :] for c in cols)  # (B, 1, L)
+    # per-target (1, 1, ·) SMEM streaming — see the SU(2) twin for the rule
+    smem_bl = lambda: pl.BlockSpec((1, 1, L), lambda b, j: (b, 0, 0),
                                    memory_space=pltpu.SMEM)
-    smem_bt = lambda: pl.BlockSpec((B, 16), lambda b, j: (0, 0),
+    smem_bt = lambda: pl.BlockSpec((1, 1, 16), lambda b, j: (b, 0, 0),
                                    memory_space=pltpu.SMEM)
-    smem_b1 = lambda: pl.BlockSpec((B, 1), lambda b, j: (0, 0),
+    smem_b1 = lambda: pl.BlockSpec((1, 1, 1), lambda b, j: (b, 0, 0),
                                    memory_space=pltpu.SMEM)
     vmem = lambda: pl.BlockSpec((1, tr, LANES), lambda b, j: (b, j, 0),
                                 memory_space=pltpu.VMEM)
@@ -562,7 +564,7 @@ def su4_objective_vjp_pallas(pulses, target_re, target_im, delta1, delta2,
                   smem_b1(), vmem(), vmem(), vmem()],
         out_specs=(*([smem_bl()] * n_dp), vmem(), vmem(), vmem()),
         out_shape=(
-            *([jax.ShapeDtypeStruct((B, L), jnp.float32)] * n_dp),
+            *([jax.ShapeDtypeStruct((B, 1, L), jnp.float32)] * n_dp),
             jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32),
@@ -574,7 +576,7 @@ def su4_objective_vjp_pallas(pulses, target_re, target_im, delta1, delta2,
         interpret=_interpret(),
     )(*cols, t_r, t_i, gb, d1, d2, ep)
     *dp, dd1, dd2, de = outs
-    dpulses = _stack_dpulses(dp, Pn, drive2)
+    dpulses = _stack_dpulses([d[:, 0, :] for d in dp], Pn, drive2)
     return (dpulses, dd1.reshape(B, M)[:, :M_orig],
             dd2.reshape(B, M)[:, :M_orig],
             de.reshape(B, M)[:, :M_orig])
