@@ -504,6 +504,38 @@ def test_shipped_drive2_kak_model_serves_named_gates_robustly():
     assert table[:, 1].min() > 0.80, table
 
 
+def test_shipped_s04_band_model_serves_deep_disorder():
+    """The sigma=0.4-band artifact (two_qubit_d2_kak_s04.npz — the same
+    drive2+kak_tokens flagship retrained on the sigma_delta=0.4 band from
+    the edge2 corner-aware checkpoint; docs/two_qubit_results.md §The
+    sigma=0.4 band) must serve deep-disorder requests: at sigma=0.4 it
+    beats the sigma=0.2 flagship on 4 of 5 named gates (TPU M=20000:
+    cz 0.6800 vs 0.6409, zz 0.8048 vs 0.6866, cnot 0.6890 vs 0.6308)."""
+    from pathlib import Path
+
+    from universal_quantum_optimal_control_tpu.optimizers.two_qubit_grape \
+        import named_two_qubit_targets
+    from universal_quantum_optimal_control_tpu.workloads.two_qubit_eval \
+        import best_phase_pulses, eval_pulse_tables
+
+    path = (Path(__file__).parent.parent
+            / "universal_quantum_optimal_control_tpu" / "demo" / "weights"
+            / "two_qubit_d2_kak_s04.npz")
+    system = SU4System(drive2=True)
+    gates = named_two_qubit_targets()
+    U = np.stack([gates[g] for g in ("cz", "cnot", "zz(pi/4)")])
+    packed = SU4System.pack_target(U)
+    pulses = best_phase_pulses(str(path), U, system, drive2=True,
+                               kak_tokens=True, omega_min=0.05)
+    table = eval_pulse_tables(pulses, packed, [0.0, 0.4],
+                              monte_carlo=512, system=system)
+    # TPU M=20000 reference: sigma=0 cz 0.8177 / cnot 0.8200 / zz 0.9231;
+    # sigma=0.4 cz 0.6800 / cnot 0.6890 / zz 0.8048 — thresholds leave
+    # wide MC margin
+    assert table[:, 0].min() > 0.75, table
+    assert table[:, 1].min() > 0.60, table
+
+
 def test_shipped_two_qubit_gate_bundle_loads_and_performs():
     """The per-gate finetuned SU(4) bundle (two_qubit_gates.npz,
     workloads/finetune_two_qubit_gates.py — the two-qubit analog of the

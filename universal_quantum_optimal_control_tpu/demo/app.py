@@ -93,6 +93,12 @@ TWO_QUBIT_VARIANTS: Dict[str, Dict] = {
     "two_qubit_d2_kak": {
         "checkpoint": str(_WEIGHTS_DIR / "two_qubit_d2_kak.npz"),
         "drive2": True, "kak_tokens": True, "omega_min": 0.05},
+    # deep-disorder band of the flagship (sigma_delta=0.4-trained from the
+    # edge2 corner-aware start) — the better server for sigma >= 0.35
+    # (docs/two_qubit_results.md §The sigma=0.4 band)
+    "two_qubit_d2_kak_s04": {
+        "checkpoint": str(_WEIGHTS_DIR / "two_qubit_d2_kak_s04.npz"),
+        "drive2": True, "kak_tokens": True, "omega_min": 0.05},
     # per-gate finetuned SU(4) tables (workloads/finetune_two_qubit_gates):
     # serves the polished/GRAPE table for named-gate requests, the flagship
     # model for everything else (the two-qubit analog of length_100_gates)
