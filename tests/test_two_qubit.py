@@ -536,6 +536,28 @@ def test_shipped_s04_band_model_serves_deep_disorder():
     assert table[:, 1].min() > 0.60, table
 
 
+def test_split_eval_cli_reports_halves():
+    """analysis/two_qubit_split_eval reproduces the trainer's held-out
+    mixed eval set (products first half, KAK second half —
+    workloads/two_qubit.py::build_targets) and reports the halves
+    separately.  On the shipped flagship the products half must beat the
+    KAK half (the measured generalization ordering,
+    docs/two_qubit_results.md §The generalization wall)."""
+    from pathlib import Path
+
+    from universal_quantum_optimal_control_tpu.analysis.two_qubit_split_eval \
+        import split_eval
+
+    path = (Path(__file__).parent.parent
+            / "universal_quantum_optimal_control_tpu" / "demo" / "weights"
+            / "two_qubit_d2_kak.npz")
+    out = split_eval(str(path), sigma=0.0, monte_carlo=4, eval_size=16,
+                     chunk=8, drive2=True, kak_tokens=True, omega_min=0.05)
+    assert set(out) == {"products", "kak", "blended"}
+    assert 0.0 < out["kak"] <= 1.001 and 0.0 < out["products"] <= 1.001
+    assert abs(out["blended"] - (out["products"] + out["kak"]) / 2) < 1e-6
+
+
 def test_shipped_two_qubit_gate_bundle_loads_and_performs():
     """The per-gate finetuned SU(4) bundle (two_qubit_gates.npz,
     workloads/finetune_two_qubit_gates.py — the two-qubit analog of the

@@ -1,0 +1,111 @@
+r"""Products-half / KAK-half eval split for a two-qubit checkpoint — CLI.
+
+The universal two-qubit trainer (``workloads/two_qubit.py``) reports one
+blended ``eval_fid`` over its held-out mixed target set.  That number hides
+the quantity that actually diagnosed the round-3 generalization wall
+(``docs/two_qubit_results.md`` §The generalization wall): the *KAK-half*
+fidelity — random Weyl-chamber-box constructions are the hard,
+edge-class-covering half, while random reachable products are the easy half
+the featurization already matches.  This CLI recomputes the trainer's exact
+held-out eval set (same ``build_targets`` call on the ``seed``-derived eval
+key — first half products, second half KAK; ``workloads/two_qubit.py:52-75``)
+and reports the two halves separately.
+
+No reference analog: the reference trains single-qubit models only; this is
+the SU(4) counterpart of its per-gate eval framing
+(visualize/visualize_universal_with_pipeline.py:77-87).
+
+Usage::
+
+    python -m universal_quantum_optimal_control_tpu.analysis.two_qubit_split_eval \
+        CHECKPOINT --sigma 0.2 [--monte_carlo 2048] [--eval_size 512]
+
+``CHECKPOINT`` is a shipped ``.npz`` or an Orbax ``dir:tag``; model
+hyper-flags mirror ``workloads/two_qubit_eval``.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..training.systems import SU4System
+from ..workloads.two_qubit import build_targets
+from ..workloads.two_qubit_eval import model_gate_pulses
+
+__all__ = ["main", "split_eval"]
+
+
+def split_eval(checkpoint: str, *, sigma: float, monte_carlo: int = 2048,
+               eval_size: int = 512, seed: int = 0, epsilon_std: float = 0.05,
+               chunk: int = 64, eval_seed: int = 42,
+               system: SU4System | None = None, **model_kw) -> dict:
+    """Mean E[F] over the trainer's held-out eval set, split by half.
+
+    Returns ``{"products": float, "kak": float, "blended": float}``.
+    ``model_kw`` forwards to :func:`..workloads.two_qubit_eval.model_gate_pulses`
+    (``drive2``, ``kak_tokens``, ``omega_min``, model shape, …).
+    """
+    system = system or SU4System(drive2=model_kw.get("drive2", False))
+    _, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    eval_t = build_targets(k2, eval_size, system.system, mode="mixed",
+                           phase_augment=True)
+
+    @jax.jit
+    def fid(pulses, ts, key):
+        ks = jax.random.split(key, 3)
+        B = pulses.shape[0]
+        d1 = sigma * jax.random.normal(ks[0], (B, monte_carlo))
+        d2 = sigma * jax.random.normal(ks[1], (B, monte_carlo))
+        ep = epsilon_std * jax.random.normal(ks[2], (B, monte_carlo))
+        return system.local_mean_fidelity(pulses, ts, (d1, d2, ep))
+
+    key = jax.random.PRNGKey(eval_seed)
+    all_pulses = model_gate_pulses(checkpoint, eval_t, **model_kw)
+    chunks = []
+    for i in range(0, eval_size, chunk):  # chunk the MC propagation only
+        chunks.append(np.asarray(
+            fid(all_pulses[i:i + chunk], eval_t[i:i + chunk], key)))
+    F = np.concatenate(chunks)
+    half = eval_size // 2
+    return {"products": float(F[:half].mean()),
+            "kak": float(F[half:].mean()),
+            "blended": float(F.mean())}
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("checkpoint", help="'dir:tag' Orbax checkpoint or .npz")
+    p.add_argument("--sigma", type=float, default=0.0)
+    p.add_argument("--monte_carlo", type=int, default=2048)
+    p.add_argument("--eval_size", type=int, default=512)
+    p.add_argument("--seed", type=int, default=0,
+                   help="trainer seed whose eval split to reproduce")
+    p.add_argument("--epsilon_std", type=float, default=0.05)
+    p.add_argument("--max_pulses", type=int, default=40)
+    p.add_argument("--d_model", type=int, default=512)
+    p.add_argument("--n_layers", type=int, default=8)
+    p.add_argument("--n_heads", type=int, default=16)
+    p.add_argument("--drive2", action="store_true")
+    p.add_argument("--kak_features", action="store_true")
+    p.add_argument("--kak_tokens", action="store_true")
+    p.add_argument("--omega_min", type=float, default=0.0)
+    args = p.parse_args(argv)
+
+    out = split_eval(
+        args.checkpoint, sigma=args.sigma, monte_carlo=args.monte_carlo,
+        eval_size=args.eval_size, seed=args.seed,
+        epsilon_std=args.epsilon_std, max_pulses=args.max_pulses,
+        d_model=args.d_model, n_layers=args.n_layers, n_heads=args.n_heads,
+        drive2=args.drive2, kak_features=args.kak_features,
+        kak_tokens=args.kak_tokens, omega_min=args.omega_min)
+    print(f"sigma={args.sigma} M={args.monte_carlo} "
+          f"products_half={out['products']:.4f} kak_half={out['kak']:.4f} "
+          f"blended={out['blended']:.4f}")
+
+
+if __name__ == "__main__":
+    main()
