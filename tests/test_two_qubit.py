@@ -498,19 +498,19 @@ def test_shipped_drive2_kak_model_serves_named_gates_robustly():
                                kak_tokens=True, omega_min=0.05)
     table = eval_pulse_tables(pulses, packed, [0.0, 0.2],
                               monte_carlo=512, system=system)
-    # CPU-eval reference (M=1024): cz 0.9715/0.8898, cnot 0.9321/0.8680,
-    # sqrt_swap 0.9726/0.9086 — thresholds leave wide MC margin
+    # TPU reference (M=20000, 16k-chain weights): cz 0.9587/0.8892,
+    # cnot 0.9546/0.8905, sqrt_swap 0.9697/0.9112 — wide MC margin
     assert table[:, 0].min() > 0.90, table
     assert table[:, 1].min() > 0.80, table
 
 
 def test_shipped_s04_band_model_serves_deep_disorder():
-    """The sigma=0.4-band artifact (two_qubit_d2_kak_s04.npz — the same
-    drive2+kak_tokens flagship retrained on the sigma_delta=0.4 band from
-    the edge2 corner-aware checkpoint; docs/two_qubit_results.md §The
-    sigma=0.4 band) must serve deep-disorder requests: at sigma=0.4 it
-    beats the sigma=0.2 flagship on 4 of 5 named gates (TPU M=20000:
-    cz 0.6800 vs 0.6409, zz 0.8048 vs 0.6866, cnot 0.6890 vs 0.6308)."""
+    """The sigma=0.4-band artifact (two_qubit_d2_kak_s04.npz — the 16k
+    chain's deep-disorder band; docs/two_qubit_results.md §The 16k
+    retrain) must serve deep-disorder requests: at sigma=0.4 it beats the
+    sigma=0.2 flagship's extension on 4 of 5 named gates (TPU M=20000:
+    cz 0.7470 vs 0.6505, zz 0.8156 vs 0.7180, cnot 0.6727 vs 0.6608,
+    sqrt_swap 0.6977 vs 0.6699)."""
     from pathlib import Path
 
     from universal_quantum_optimal_control_tpu.optimizers.two_qubit_grape \
@@ -534,6 +534,33 @@ def test_shipped_s04_band_model_serves_deep_disorder():
     # wide MC margin
     assert table[:, 0].min() > 0.75, table
     assert table[:, 1].min() > 0.60, table
+
+
+def test_shipped_s0_band_model_serves_named_gates_near_exactly():
+    """The sigma=0 specialist (two_qubit_d2_kak_s0.npz: 16k-target band-0
+    retrain) serves named gates at per-gate-bundle quality FROM THE
+    UNIVERSAL MODEL — TPU M=20000 exact: cz 0.9957, zz 0.9996, cnot
+    0.9912, iswap 0.9915, sqrt_swap 0.9968 (the per-gate finetuned
+    bundle is 0.9960-0.9972).  Exact sigma=0 eval — no MC tolerance."""
+    from pathlib import Path
+
+    from universal_quantum_optimal_control_tpu.optimizers.two_qubit_grape \
+        import named_two_qubit_targets
+    from universal_quantum_optimal_control_tpu.workloads.two_qubit_eval \
+        import best_phase_pulses, eval_pulse_tables
+
+    path = (Path(__file__).parent.parent
+            / "universal_quantum_optimal_control_tpu" / "demo" / "weights"
+            / "two_qubit_d2_kak_s0.npz")
+    system = SU4System(drive2=True)
+    gates = named_two_qubit_targets()
+    U = np.stack([gates[g] for g in ("cz", "cnot", "iswap", "sqrt_swap")])
+    packed = SU4System.pack_target(U)
+    pulses = best_phase_pulses(str(path), U, system, drive2=True,
+                               kak_tokens=True, omega_min=0.05)
+    table = eval_pulse_tables(pulses, packed, [0.0], monte_carlo=1,
+                              system=system)
+    assert table[:, 0].min() > 0.985, table
 
 
 def test_split_eval_cli_reports_halves():

@@ -93,6 +93,12 @@ TWO_QUBIT_VARIANTS: Dict[str, Dict] = {
     "two_qubit_d2_kak": {
         "checkpoint": str(_WEIGHTS_DIR / "two_qubit_d2_kak.npz"),
         "drive2": True, "kak_tokens": True, "omega_min": 0.05},
+    # exact-serving band of the flagship (sigma_delta=0-trained, 16k
+    # targets): named gates 0.9912-0.9996 exact, blended 0.9867 over
+    # arbitrary mixed targets — use for sigma < 0.05 requests
+    "two_qubit_d2_kak_s0": {
+        "checkpoint": str(_WEIGHTS_DIR / "two_qubit_d2_kak_s0.npz"),
+        "drive2": True, "kak_tokens": True, "omega_min": 0.05},
     # deep-disorder band of the flagship (sigma_delta=0.4-trained from the
     # edge2 corner-aware start) — the better server for sigma >= 0.35
     # (docs/two_qubit_results.md §The sigma=0.4 band)
