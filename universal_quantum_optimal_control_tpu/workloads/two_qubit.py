@@ -235,8 +235,16 @@ def main(argv=None) -> None:
 
     params = trainer.init_params(train_x[:2])
     if args.restore:
-        base_dir, tag = args.restore.rsplit(":", 1)
-        params, _ = restore_checkpoint(base_dir, tag, target=params)
+        if args.restore.endswith(".npz"):
+            # warm-start from a shipped two-qubit artifact (e.g.
+            # demo/weights/two_qubit_d2_kak_s0.npz) — Orbax run dirs don't
+            # survive across environments, the flat npz weights do.
+            from ..models.serialization import load_params_npz
+
+            params = load_params_npz(args.restore, params)
+        else:
+            base_dir, tag = args.restore.rsplit(":", 1)
+            params, _ = restore_checkpoint(base_dir, tag, target=params)
         print(f"restored two-qubit params from {args.restore}")
     if args.pretrained_single_qubit:
         if args.pretrained_single_qubit.endswith(".npz"):
