@@ -149,15 +149,19 @@ def _segment_body(phi, omega, tau, d1, d2, eps, ur, ui, *, xtalk, coupling,
     # diagonals of H: ½δ₁z₁ + ½δ₂z₂ + J·z₁z₂ with z-patterns per basis state
     diag = [0.5 * (d1 + d2) + coupling, 0.5 * (d1 - d2) - coupling,
             0.5 * (d2 - d1) - coupling, -0.5 * (d1 + d2) + coupling]
-    g1r, g1i = amp * c, -amp * s          # amp·e^{-iφ}
-    g2r, g2i = xtalk * g1r, xtalk * g1i
+    # drive envelopes e₁ = e^{-iφ₁} + χe^{-iφ₂}, e₂ = χe^{-iφ₁} + e^{-iφ₂}
+    # combined at SCALAR width (φ, φ₂ are per-segment SMEM scalars), so the
+    # drive2 variant pays the same 4 per-sample vector multiplies as base
     if phi2 is not None:
         c2 = jnp.cos(phi2)
         s2 = jnp.sin(phi2)
-        g2r = g2r + amp * c2
-        g2i = g2i - amp * s2
-        g1r = g1r + xtalk * amp * c2
-        g1i = g1i - xtalk * amp * s2
+        e1r, e1i = c + xtalk * c2, -(s + xtalk * s2)
+        e2r, e2i = xtalk * c + c2, -(xtalk * s + s2)
+    else:
+        e1r, e1i = c, -s
+        e2r, e2i = xtalk * c, -(xtalk * s)
+    g1r, g1i = amp * e1r, amp * e1i
+    g2r, g2i = amp * e2r, amp * e2i
     t = tau / (2.0 ** scaling)
     # A = −i·H·t ⇒ Ar = Hi·t, Ai = −Hr·t
     zero = jnp.zeros_like(d1)

@@ -88,17 +88,19 @@ def _build_A(phi, omega, tau, d1, d2, eps, *, xtalk, coupling, scaling,
     amp = 0.5 * (1.0 + eps) * relu_om
     diag = [0.5 * (d1 + d2) + coupling, 0.5 * (d1 - d2) - coupling,
             0.5 * (d2 - d1) - coupling, -0.5 * (d1 + d2) + coupling]
-    g1r, g1i = amp * c, -amp * s
-    g2r, g2i = xtalk * g1r, xtalk * g1i
+    # scalar-width envelope combination — see the forward kernel's
+    # _segment_body: drive2 pays the same 4 per-sample vector multiplies
     if phi2 is not None:
         c2 = jnp.cos(phi2)
         s2 = jnp.sin(phi2)
-        g2r = g2r + amp * c2
-        g2i = g2i - amp * s2
-        g1r = g1r + xtalk * amp * c2
-        g1i = g1i - xtalk * amp * s2
+        e1r, e1i = c + xtalk * c2, -(s + xtalk * s2)
+        e2r, e2i = xtalk * c + c2, -(xtalk * s + s2)
     else:
         c2 = s2 = None
+        e1r, e1i = c, -s
+        e2r, e2i = xtalk * c, -(xtalk * s)
+    g1r, g1i = amp * e1r, amp * e1i
+    g2r, g2i = amp * e2r, amp * e2i
     t = tau / (2.0 ** scaling)
     zero = jnp.zeros_like(d1)
     Kr = [[zero for _ in range(4)] for _ in range(4)]
