@@ -17,6 +17,26 @@ import numpy as np
 __all__ = ["save_params_npz", "load_params_npz", "load_params_npz_tree"]
 
 _SEP = "//"
+_SCALE_SUFFIX = "!scale"  # companion key for int8-quantized tensors
+
+
+def _quantize_int8(v: np.ndarray):
+    """Per-output-channel symmetric int8 quantization.
+
+    ``v`` is a float tensor with ndim >= 2; the LAST axis is treated as the
+    output-channel axis (Flax ``Dense`` kernels are ``(in, out)``).  Returns
+    ``(q, scale)`` with ``v ≈ q * scale`` and ``scale`` shaped to broadcast
+    over ``v``.
+    """
+    amax = np.abs(v).max(axis=tuple(range(v.ndim - 1)), keepdims=True)
+    scale = (amax / 127.0).astype(np.float32)
+    scale = np.where(scale == 0.0, 1.0, scale)
+    q = np.clip(np.rint(v / scale), -127, 127).astype(np.int8)
+    return q, scale
+
+
+def _dequantize(q: np.ndarray, scale: np.ndarray) -> np.ndarray:
+    return q.astype(np.float32) * scale
 
 
 def _flatten(params: Any) -> Dict[str, np.ndarray]:
@@ -32,11 +52,41 @@ def _flatten(params: Any) -> Dict[str, np.ndarray]:
 
 
 def save_params_npz(path: str, params: Any, dtype=None) -> None:
-    """Save a parameter pytree as one .npz (tree paths as keys)."""
+    """Save a parameter pytree as one .npz (tree paths as keys).
+
+    ``dtype``: ``None`` preserves dtypes; a numpy dtype (e.g. ``np.float16``)
+    downcasts every leaf; the string ``"int8"`` stores matmul-sized tensors
+    (ndim >= 2 and >= 4096 elements) as per-output-channel symmetric int8
+    with a ``f32`` scale under ``<key>!scale`` (~2× smaller than f16 on
+    d512-class artifacts) and everything small (LayerNorm gains, biases)
+    as f16.  Loaders dequantize transparently; measured per-gate E[F]
+    impact on the shipped flagships is < 1e-3 (demo/weights/README.md).
+    """
     flat = _flatten(params)
-    if dtype is not None:
+    if dtype == "int8":
+        out: Dict[str, np.ndarray] = {}
+        for k, v in flat.items():
+            if np.issubdtype(v.dtype, np.floating) and v.ndim >= 2 \
+                    and v.size >= 4096:
+                q, scale = _quantize_int8(v.astype(np.float32))
+                out[k] = q
+                out[k + _SCALE_SUFFIX] = scale
+            elif np.issubdtype(v.dtype, np.floating):
+                out[k] = v.astype(np.float16)
+            else:
+                out[k] = v
+        flat = out
+    elif dtype is not None:
         flat = {k: v.astype(dtype) for k, v in flat.items()}
     np.savez_compressed(path, **flat)
+
+
+def _read_leaf(data, key: str) -> np.ndarray:
+    """Read one stored tensor, dequantizing int8+scale pairs."""
+    arr = data[key]
+    if arr.dtype == np.int8 and key + _SCALE_SUFFIX in data:
+        return _dequantize(arr, data[key + _SCALE_SUFFIX])
+    return arr
 
 
 def load_params_npz_tree(path: str, dtype=jnp.float32) -> Dict[str, Any]:
@@ -48,11 +98,13 @@ def load_params_npz_tree(path: str, dtype=jnp.float32) -> Dict[str, Any]:
     data = np.load(path)
     tree: Dict[str, Any] = {}
     for key in data.files:
+        if key.endswith(_SCALE_SUFFIX):
+            continue
         node = tree
         parts = key.split(_SEP)
         for p in parts[:-1]:
             node = node.setdefault(p, {})
-        node[parts[-1]] = jnp.asarray(data[key], dtype=dtype)
+        node[parts[-1]] = jnp.asarray(_read_leaf(data, key), dtype=dtype)
     return tree
 
 
@@ -70,7 +122,7 @@ def load_params_npz(path: str, target: Any, dtype=jnp.float32) -> Any:
             for p in path_t)
         if key not in data:
             raise KeyError(f"missing weight {key!r} in {path}")
-        arr = data[key]
+        arr = _read_leaf(data, key)
         if arr.shape != np.asarray(leaf).shape:
             raise ValueError(
                 f"shape mismatch for {key!r}: {arr.shape} vs "
