@@ -61,7 +61,8 @@ import numpy as np
 
 from ..training.systems import SU4System
 
-__all__ = ["dephasing_bound", "effective_time", "main"]
+__all__ = ["dephasing_bound", "effective_time", "rotation_budget",
+           "measure_channels", "main"]
 
 _WEIGHTS = Path(__file__).parent.parent / "demo" / "weights"
 
@@ -79,20 +80,48 @@ def dephasing_bound(sigma, T_eff):
     return (3.0 + 2.0 * np.exp(-0.5 * s * s * np.asarray(T_eff) ** 2)) / 5.0
 
 
-def _model_pulses(checkpoint: str, n_targets: int, seed: int):
+def rotation_budget(T, rate: float):
+    """Total toggling-frame rotation budget ``rate·T`` (radians) available
+    to refocus a Z-dephasing channel whose frame axis rotates at
+    instantaneous rate ≤ ``rate``.
+
+    The first-order Magnus bound (*) is BINDING only while ``rate·T ≤ π/2``
+    (the monotone branch of ``sin``): beyond ``π`` the frame can traverse a
+    full echo and the lower bound on ``|∫ẑ dt|`` degrades to zero — full
+    first-order refocusing becomes geometrically unobstructed and the bound
+    is VACUOUS.  On the cross-talk-only system δ₂'s rate is ``χΩ̄``
+    (budget ≈ 0.7 rad at T ≈ 7 → binding); on the ``drive2`` system it is
+    ``(1+χ)Ω̄`` (budget ≈ 7.7 rad → vacuous, which is WHY drive2 removes
+    the robustness plateau — docs/two_qubit_results.md §Falsification)."""
+    return float(rate) * np.asarray(T, np.float64)
+
+
+def _model_pulses(checkpoint: str, n_targets: int, seed: int,
+                  drive2: bool = False, kak_tokens: bool = False,
+                  omega_min: float = 0.0):
     from ..workloads.two_qubit import build_targets
     from ..workloads.two_qubit_eval import model_gate_pulses
 
-    system = SU4System()
+    system = SU4System(drive2=drive2)
     targets = build_targets(jax.random.PRNGKey(seed), n_targets,
-                            system.system)
-    pulses = model_gate_pulses(checkpoint, targets)
+                            system.system,
+                            mode="mixed" if drive2 else "products")
+    pulses = model_gate_pulses(checkpoint, targets, drive2=drive2,
+                               kak_tokens=kak_tokens, omega_min=omega_min)
     return pulses, targets
 
 
-def _mean_fid(pulses, targets, d1, d2, ep, system):
-    return float(jnp.mean(system.local_mean_fidelity(
-        pulses, targets, (d1, d2, ep))))
+def _jit_mean_fid(system):
+    """One jitted scalar-E[F] evaluator per system.
+
+    Eager dispatch of the SU(4) propagator is minutes-slow on remote-tunnel
+    backends (each of the scan's surrounding ops is a device round-trip);
+    one jit per (system, shape) makes the σ loop a single dispatch per call."""
+    @jax.jit
+    def f(pulses, targets, d1, d2, ep):
+        return jnp.mean(system.local_mean_fidelity(
+            pulses, targets, (d1, d2, ep)))
+    return f
 
 
 def measure(pulses, targets, sigmas, *, monte_carlo=20_000,
@@ -111,18 +140,72 @@ def measure(pulses, targets, sigmas, *, monte_carlo=20_000,
     omega_bar = (float(jnp.mean(jnp.maximum(pulses[..., 1], 0.0)))
                  if pulses.shape[-1] == 3 else 1.0)
     T_eff = effective_time(T.mean(), system.system.xtalk, omega_bar)
+    fid = _jit_mean_fid(system)
     # F0: δ₁/ε channels only (δ₂ = 0) — the non-δ₂ loss factor
     F0 = {}
     rows = []
     for s in sigmas:
-        f_d2 = _mean_fid(pulses, targets, zero, n2 * s, zero, system)
-        f_full = _mean_fid(pulses, targets, n1 * s, n2 * s,
-                           ne * epsilon_std, system)
-        F0[s] = _mean_fid(pulses, targets, n1 * s, zero, ne * epsilon_std,
-                          system)
+        f_d2 = float(fid(pulses, targets, zero, n2 * s, zero))
+        f_full = float(fid(pulses, targets, n1 * s, n2 * s,
+                           ne * epsilon_std))
+        F0[s] = float(fid(pulses, targets, n1 * s, zero,
+                          ne * epsilon_std))
         bound = float(dephasing_bound(s, T_eff))
         rows.append((s, f_d2, bound, f_full, F0[s] * bound))
     return rows, T.mean(), T_eff, omega_bar
+
+
+def measure_channels(pulses, targets, sigmas, *, system=None,
+                     monte_carlo=20_000, epsilon_std=0.05, seed=11):
+    """Per-channel loss decomposition for the drive2 system (where the
+    first-order bound is vacuous and calibration must be empirical).
+
+    Rows of (σ, E[F] δ₁ only, δ₂ only, ε only, full, product of the three)
+    — the product column is the independent-channel factorization; a match
+    with the full column says the channels do not interact at this σ."""
+    system = system if system is not None else SU4System(drive2=True)
+    B = pulses.shape[0]
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    n1 = jax.random.normal(k1, (B, monte_carlo))
+    n2 = jax.random.normal(k2, (B, monte_carlo))
+    ne = jax.random.normal(k3, (B, monte_carlo)) * epsilon_std
+    zero = jnp.zeros_like(n1)
+
+    T = np.asarray(jnp.sum(pulses[..., -1], axis=-1))
+    P = pulses.shape[-1]
+    omega_bar = (float(jnp.mean(jnp.maximum(pulses[..., P - 2], 0.0)))
+                 if P >= 3 else 1.0)
+    fid = _jit_mean_fid(system)
+    f_eps = float(fid(pulses, targets, zero, zero, ne))
+    rows = []
+    for s in sigmas:
+        f_d1 = float(fid(pulses, targets, n1 * s, zero, zero))
+        f_d2 = float(fid(pulses, targets, zero, n2 * s, zero))
+        f_full = float(fid(pulses, targets, n1 * s, n2 * s, ne))
+        rows.append((s, f_d1, f_d2, f_eps, f_full, f_d1 * f_d2 * f_eps))
+    return rows, T.mean(), omega_bar
+
+
+def _render_channels(name, rows, T, omega_bar, chi):
+    budget = rotation_budget(T, (1.0 + chi) * omega_bar)
+    if budget > 0.5 * np.pi:
+        status = (f"First-order Magnus bound status: **vacuous** — the δ "
+                  f"toggling frames can traverse (1+χ)Ω̄T = {budget:.1f} rad "
+                  f"(> π/2), so full first-order refocusing of either δ "
+                  f"channel is geometrically unobstructed; the ceiling is "
+                  f"empirical (single-target GRAPE).")
+    else:
+        status = (f"First-order Magnus bound status: **binding** "
+                  f"(budget {budget:.2f} rad ≤ π/2).")
+    out = [f"### {name}  (drive2; mean T = {T:.2f}, Ω̄ = {omega_bar:.2f})",
+           "", status, "",
+           "| σ_δ | E[F] δ₁ only | δ₂ only | ε only | full | f₁·f₂·f_ε |",
+           "|---|---:|---:|---:|---:|---:|"]
+    for s, f1, f2, fe, ff, fp in rows:
+        out.append(f"| {s:g} | {f1:.4f} | {f2:.4f} | {fe:.4f} | {ff:.4f} "
+                   f"| {fp:.4f} |")
+    return "\n".join(out)
 
 
 def _render(name, rows, T, T_eff, omega_bar):
@@ -140,8 +223,21 @@ def build_parser():
         description="Magnus/filter-function δ₂ dephasing bound vs shipped "
                     "two-qubit artifacts")
     p.add_argument("--checkpoint",
-                   default=str(_WEIGHTS / "two_qubit_d512.npz"))
-    p.add_argument("--cz", default=str(_WEIGHTS / "cz_robust_pulse.npz"))
+                   default=str(_WEIGHTS / "two_qubit_d2_kak.npz"),
+                   help="universal two-qubit model artifact (.npz or "
+                        "Orbax dir:tag); the default is the drive2+KAK "
+                        "flagship — pass --no-drive2 checkpoints with "
+                        "matching flags")
+    p.add_argument("--cz", default=str(_WEIGHTS / "cz_robust_pulse.npz"),
+                   help="cross-talk-only GRAPE pulse for the ORIGINAL "
+                        "(binding) bound section")
+    p.add_argument("--drive2", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="treat --checkpoint as a drive2+kak_tokens model "
+                        "and emit the channel decomposition (the bound is "
+                        "vacuous there); --no-drive2 runs the original "
+                        "cross-talk-only bound comparison instead")
+    p.add_argument("--omega_min", type=float, default=0.05)
     p.add_argument("--sigmas", default="0.05,0.1,0.2,0.4")
     p.add_argument("--n_targets", type=int, default=32)
     p.add_argument("--monte_carlo", type=int, default=20_000)
@@ -158,14 +254,27 @@ def main(argv=None):
                 "T_eff = sin(χΩ̄T)/(χΩ̄) — see "
                 "`analysis/dephasing_bound.py` for the derivation.", ""]
 
-    if Path(args.checkpoint).exists():
-        pulses, targets = _model_pulses(args.checkpoint, args.n_targets,
-                                        args.seed)
-        rows, T, T_eff, ob = measure(pulses, targets, sigmas,
-                                     monte_carlo=args.monte_carlo)
-        sections.append(_render(
-            f"universal model `{Path(args.checkpoint).name}` "
-            f"({args.n_targets} random targets)", rows, T, T_eff, ob))
+    if Path(args.checkpoint).exists() or ":" in args.checkpoint:
+        if args.drive2:
+            system = SU4System(drive2=True)
+            pulses, targets = _model_pulses(
+                args.checkpoint, args.n_targets, args.seed, drive2=True,
+                kak_tokens=True, omega_min=args.omega_min)
+            rows, T, ob = measure_channels(pulses, targets, sigmas,
+                                           system=system,
+                                           monte_carlo=args.monte_carlo)
+            sections.append(_render_channels(
+                f"universal model `{Path(args.checkpoint).name}` "
+                f"({args.n_targets} mixed targets)", rows, T, ob,
+                system.system.xtalk))
+        else:
+            pulses, targets = _model_pulses(args.checkpoint, args.n_targets,
+                                            args.seed)
+            rows, T, T_eff, ob = measure(pulses, targets, sigmas,
+                                         monte_carlo=args.monte_carlo)
+            sections.append(_render(
+                f"universal model `{Path(args.checkpoint).name}` "
+                f"({args.n_targets} random targets)", rows, T, T_eff, ob))
         sections.append("")
 
     if Path(args.cz).exists():
@@ -177,6 +286,20 @@ def main(argv=None):
                                      monte_carlo=args.monte_carlo)
         sections.append(_render(f"CZ GRAPE pulse `{Path(args.cz).name}`",
                                 rows, T, T_eff, ob))
+        sections.append("")
+
+    cz_d2 = _WEIGHTS / "cz_drive2_pulse.npz"
+    if args.drive2 and cz_d2.exists():
+        z = np.load(cz_d2)
+        pulses = jnp.asarray(z["pulses"])[None]
+        targets = SU4System.pack_target(np.asarray(z["u_target"])[None])
+        system = SU4System(drive2=True)
+        rows, T, ob = measure_channels(pulses, targets, sigmas,
+                                       system=system,
+                                       monte_carlo=args.monte_carlo)
+        sections.append(_render_channels(
+            f"CZ drive2 GRAPE pulse `{cz_d2.name}`", rows, T, ob,
+            system.system.xtalk))
 
     text = "\n".join(sections)
     print(text)
