@@ -101,10 +101,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint dir:tag of a single-qubit model whose "
                         "encoder is transplanted before finetuning")
     p.add_argument("--restore", type=str, default=None,
-                   help="checkpoint dir:tag of a TWO-QUBIT run to restore "
-                        "full params from before training — lets curriculum "
-                        "bands run as separate invocations (fresh cosine "
-                        "schedule + MC budget per band)")
+                   help="TWO-QUBIT weights to restore full params from "
+                        "before training: either a checkpoint dir:tag of an "
+                        "Orbax run, or a path ending in .npz to warm-start "
+                        "from flat npz weights (e.g. the shipped "
+                        "universal_quantum_optimal_control_tpu/demo/weights/"
+                        "two_qubit_d2_kak_s0.npz) — lets curriculum bands "
+                        "run as separate invocations (fresh cosine schedule "
+                        "+ MC budget per band)")
     p.add_argument("--seed", type=int, default=0)
     # the recipe that unlocked the single-qubit d512x8 flagship
     p.add_argument("--reset_opt_per_band", action="store_true",
@@ -237,8 +241,9 @@ def main(argv=None) -> None:
     if args.restore:
         if args.restore.endswith(".npz"):
             # warm-start from a shipped two-qubit artifact (e.g.
-            # demo/weights/two_qubit_d2_kak_s0.npz) — Orbax run dirs don't
-            # survive across environments, the flat npz weights do.
+            # universal_quantum_optimal_control_tpu/demo/weights/
+            # two_qubit_d2_kak_s0.npz) — Orbax run dirs don't survive
+            # across environments, the flat npz weights do.
             from ..models.serialization import load_params_npz
 
             params = load_params_npz(args.restore, params)
