@@ -35,6 +35,7 @@ def test_unshipped_variant_raises_clear_error():
         app.load_pipeline(unshipped[0])
 
 
+@pytest.mark.artifacts
 def test_two_qubit_pulse_variants_render(tmp_path):
     """SU(4) demo rendering (VERDICT r2 item 6): the shipped single-target
     pulse variants render the CSV + F(δ₁,δ₂) contour + E[F](σ) artifacts —

@@ -2,6 +2,7 @@
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from universal_quantum_optimal_control_tpu.core import su4
@@ -186,6 +187,7 @@ def test_shipped_cz_drive2_pulse_beats_the_crosstalk_ceiling():
     assert F.mean() > 0.90, F.mean()
 
 
+@pytest.mark.artifacts
 def test_shipped_two_qubit_weights_load_and_perform():
     """The shipped two-qubit universal artifact (band-0 sigma=0 eval 0.9944
     at training): loaded through the npz serializer it must map reachable
@@ -472,6 +474,7 @@ def test_kak_canonicalize_invariance_and_classes():
         np.testing.assert_allclose(np.abs(c), c_ref, atol=1e-9)
 
 
+@pytest.mark.artifacts
 def test_shipped_drive2_kak_model_serves_named_gates_robustly():
     """The round-3 flagship two-qubit artifact (two_qubit_d2_kak.npz:
     drive2 system, KAK-mixed training targets, kak_tokens featurization,
@@ -504,6 +507,7 @@ def test_shipped_drive2_kak_model_serves_named_gates_robustly():
     assert table[:, 1].min() > 0.80, table
 
 
+@pytest.mark.artifacts
 def test_shipped_s04_band_model_serves_deep_disorder():
     """The sigma=0.4-band artifact (two_qubit_d2_kak_s04.npz — the 16k
     chain's deep-disorder band; docs/two_qubit_results.md §The 16k
@@ -536,6 +540,7 @@ def test_shipped_s04_band_model_serves_deep_disorder():
     assert table[:, 1].min() > 0.60, table
 
 
+@pytest.mark.artifacts
 def test_shipped_s0_band_model_serves_named_gates_near_exactly():
     """The sigma=0 specialist (two_qubit_d2_kak_s0.npz: 16k-target band-0
     retrain) serves named gates at per-gate-bundle quality FROM THE

@@ -157,6 +157,7 @@ def test_shipped_length100_weights_load_and_perform():
     assert f > 0.9, f
 
 
+@pytest.mark.artifacts
 def test_shipped_length100_flagship_loads_and_performs():
     """The flagship d512x8 L=100 artifact (the demo default): E[F] > 0.9 at
     sigma=0.4 on H — the theta=pi gimbal-branch gate that regressed before
@@ -210,6 +211,7 @@ def test_shipped_gate_bundle_loads_and_performs():
     assert f > 0.94, (f, se)
 
 
+@pytest.mark.artifacts
 def test_demo_blend_variant_serves_with_base_pulse():
     """length_400 is a finetune-blend variant: the demo pipeline must load
     the registered base pulse and serve 0.2*model + base (reference
@@ -262,6 +264,7 @@ def test_export_npz_roundtrip(tmp_path):
         app.load_pipeline.cache_clear()
 
 
+@pytest.mark.artifacts
 def test_shipped_length400_weights_load_and_perform():
     """The shipped length_400 blend artifact: E[F] > 0.9 at sigma=0.4 on
     X(pi) (trained band bests 0.998/0.984/0.957 — see weights/README.md)."""
@@ -358,6 +361,7 @@ def test_shipped_p4_gate_bundle_beats_the_two_param_ceiling():
     assert f > 0.945, (f, se)
 
 
+@pytest.mark.artifacts
 def test_shipped_p4_universal_model_beats_the_p2_flagship():
     """The 4-parameter universal flagship (length100_p4.npz — the
     reference's full declared pulse space, trained end-to-end through the
@@ -382,6 +386,7 @@ def test_shipped_p4_universal_model_beats_the_p2_flagship():
     app.load_pipeline.cache_clear()
 
 
+@pytest.mark.artifacts
 def test_shipped_length400_p4_universal_model_loads_and_performs():
     """The L=400 4-parameter universal flagship (length400_p4.npz —
     reference length_400 budget with relu-zeroable tau, NO base-pulse
