@@ -195,6 +195,27 @@ def main() -> None:
     dt = timed_chain(vg_su4_xla, iters=6)
     record("su4_L24_value_and_grad_xla_soa", B4 * M4g / dt, "props/s")
 
+    # 8. SU(4) drive2 training objective (4-parameter pulses, second direct
+    # drive line) through the same fused kernels — the round-4 scalar-width
+    # envelope combination makes this rate-match the base system
+    kphi2 = jax.random.PRNGKey(7)
+    p4d2 = jnp.concatenate(
+        [p4[..., :1],
+         jax.random.uniform(kphi2, (B4, L4, 1), minval=-np.pi, maxval=np.pi),
+         jnp.ones((B4, L4, 1), jnp.float32) * 0.8,
+         p4[..., 1:2]], axis=-1)
+
+    def vg_su4_pallas_d2(c):
+        def f(p):
+            return jnp.sum(mean_fidelity_su4_trainable(
+                p, t_r, t_i, d1[:, :M4g] + c, d2[:, :M4g], e4[:, :M4g],
+                drive2=True))
+        v, g = jax.value_and_grad(f)(p4d2)
+        return v * 1e-12 + jnp.sum(g) * 1e-12, None
+
+    dt = timed_chain(vg_su4_pallas_d2, iters=6)
+    record("su4_L24_drive2_value_and_grad_pallas", B4 * M4g / dt, "props/s")
+
     print(json.dumps({"device": str(jax.devices()[0])}))
 
 
