@@ -224,3 +224,76 @@ def test_loose_npz_tree_cross_shape_encoder_transplant(tmp_path):
     # the head keeps the destination init (shapes differ from source)
     out = dst_model.apply(merged, rv)
     assert out.shape == (1, 16, 4)
+
+
+def test_int8_npz_quantized_roundtrip(tmp_path):
+    """save_params_npz(dtype='int8'): matmul-sized tensors come back within
+    per-channel symmetric-int8 error (half-step of amax/127 per channel),
+    small floats survive as f16, non-float leaves pass through exactly, and
+    BOTH loaders (strict template + loose tree) dequantize transparently."""
+    from universal_quantum_optimal_control_tpu.models.serialization import (
+        load_params_npz,
+        load_params_npz_tree,
+        save_params_npz,
+    )
+
+    key = jax.random.PRNGKey(0)
+    big = jax.random.normal(key, (64, 128), jnp.float32) * 0.3   # quantized
+    bias = jnp.linspace(-1.0, 1.0, 16, dtype=jnp.float32)        # f16 path
+    steps = jnp.asarray(7, jnp.int32)                            # pass-through
+    tree = {"dense": {"kernel": big, "bias": bias}, "steps": steps}
+    path = str(tmp_path / "q.npz")
+    save_params_npz(path, tree, dtype="int8")
+
+    raw = np.load(path)
+    assert raw["dense//kernel"].dtype == np.int8
+    assert raw["dense//kernel!scale"].dtype == np.float32
+    assert raw["dense//bias"].dtype == np.float16
+    assert raw["steps"].dtype == np.int32
+
+    out = load_params_npz(path, tree)
+    # per-output-channel half-step bound: |v - q*s| <= s/2, s = amax/127
+    step = np.abs(np.asarray(big)).max(axis=0) / 127.0
+    err = np.abs(np.asarray(out["dense"]["kernel"]) - np.asarray(big))
+    assert (err <= 0.5 * step[None, :] + 1e-7).all(), err.max()
+    np.testing.assert_allclose(np.asarray(out["dense"]["bias"]),
+                               np.asarray(bias), atol=1e-3)
+    loose = load_params_npz_tree(path)
+    np.testing.assert_array_equal(np.asarray(loose["dense"]["kernel"]),
+                                  np.asarray(out["dense"]["kernel"]))
+
+
+@pytest.mark.artifacts
+def test_int8_recast_of_shipped_flagship_preserves_ef(tmp_path):
+    """Release gate for quantized shipping (VERDICT r3 item 4): re-encoding
+    the shipped flagship as int8 must not move served E[F] — matched-draw
+    |dE[F]| <= 1.5e-3 on X(pi) at sigma_delta = 1 (measured 2.0e-4;
+    full per-artifact table in demo/weights/README.md)."""
+    from pathlib import Path
+
+    from universal_quantum_optimal_control_tpu.analysis import (
+        mc_fidelity_estimate,
+    )
+    from universal_quantum_optimal_control_tpu.demo import app
+    from universal_quantum_optimal_control_tpu.models.serialization import (
+        load_params_npz_tree,
+        save_params_npz,
+    )
+
+    src = Path(app.MODEL_VARIANTS["length_100"]["checkpoint"])
+    dst = tmp_path / "length100_int8.npz"
+    save_params_npz(str(dst), load_params_npz_tree(str(src)), dtype="int8")
+    assert dst.stat().st_size < 0.6 * src.stat().st_size
+
+    key = jax.random.PRNGKey(7)
+    app.load_pipeline.cache_clear()
+    p0, q = app.compute_pulses("length_100", 1.0, 0.0, 0.0, float(np.pi))
+    app.load_pipeline.cache_clear()
+    p1, _ = app.compute_pulses("length_100", 1.0, 0.0, 0.0, float(np.pi),
+                               checkpoint=str(dst))
+    app.load_pipeline.cache_clear()
+    f0, _ = mc_fidelity_estimate(p0, q, delta_std=1.0, monte_carlo=8192,
+                                 key=key)
+    f1, _ = mc_fidelity_estimate(p1, q, delta_std=1.0, monte_carlo=8192,
+                                 key=key)
+    assert abs(float(f1) - float(f0)) < 1.5e-3, (float(f0), float(f1))

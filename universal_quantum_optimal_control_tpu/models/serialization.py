@@ -59,8 +59,10 @@ def save_params_npz(path: str, params: Any, dtype=None) -> None:
     (ndim >= 2 and >= 4096 elements) as per-output-channel symmetric int8
     with a ``f32`` scale under ``<key>!scale`` (~2× smaller than f16 on
     d512-class artifacts) and everything small (LayerNorm gains, biases)
-    as f16.  Loaders dequantize transparently; measured per-gate E[F]
-    impact on the shipped flagships is < 1e-3 (demo/weights/README.md).
+    as f16.  Loaders dequantize transparently; measured matched-draw
+    per-gate E[F] impact is ≤ 8.6e-4 on every shipped single-qubit
+    artifact and ≤ 2.0e-3 on the two-qubit KAK trio
+    (demo/weights/README.md table).
     """
     flat = _flatten(params)
     if dtype == "int8":
