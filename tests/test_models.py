@@ -265,10 +265,14 @@ def test_int8_npz_quantized_roundtrip(tmp_path):
 
 @pytest.mark.artifacts
 def test_int8_recast_of_shipped_flagship_preserves_ef(tmp_path):
-    """Release gate for quantized shipping (VERDICT r3 item 4): re-encoding
-    the shipped flagship as int8 must not move served E[F] — matched-draw
-    |dE[F]| <= 1.5e-3 on X(pi) at sigma_delta = 1 (measured 2.0e-4;
-    full per-artifact table in demo/weights/README.md)."""
+    """Release gate for quantized shipping (VERDICT r3 item 4): the shipped
+    flagship IS int8 since round 4, so the gate asserts (a) int8 re-encode
+    is exactly idempotent (quantization is a projection: values are already
+    q*scale, so requantizing reproduces the same q bit-for-bit), and
+    (b) served E[F] on X(pi) at sigma_delta = 1 still matches the recorded
+    f16-era measurement 0.9477 (demo/weights/README.md; the measured int8
+    cast impact on this artifact was 2.0e-4, matched-draw table in the
+    README)."""
     from pathlib import Path
 
     from universal_quantum_optimal_control_tpu.analysis import (
@@ -283,17 +287,16 @@ def test_int8_recast_of_shipped_flagship_preserves_ef(tmp_path):
     src = Path(app.MODEL_VARIANTS["length_100"]["checkpoint"])
     dst = tmp_path / "length100_int8.npz"
     save_params_npz(str(dst), load_params_npz_tree(str(src)), dtype="int8")
-    assert dst.stat().st_size < 0.6 * src.stat().st_size
+    raw_src, raw_dst = np.load(str(src)), np.load(str(dst))
+    q_keys = [k for k in raw_src.files if raw_src[k].dtype == np.int8]
+    assert q_keys, "flagship artifact is expected to be int8-encoded"
+    for k in q_keys:
+        np.testing.assert_array_equal(raw_src[k], raw_dst[k])
 
     key = jax.random.PRNGKey(7)
     app.load_pipeline.cache_clear()
     p0, q = app.compute_pulses("length_100", 1.0, 0.0, 0.0, float(np.pi))
     app.load_pipeline.cache_clear()
-    p1, _ = app.compute_pulses("length_100", 1.0, 0.0, 0.0, float(np.pi),
-                               checkpoint=str(dst))
-    app.load_pipeline.cache_clear()
     f0, _ = mc_fidelity_estimate(p0, q, delta_std=1.0, monte_carlo=8192,
                                  key=key)
-    f1, _ = mc_fidelity_estimate(p1, q, delta_std=1.0, monte_carlo=8192,
-                                 key=key)
-    assert abs(float(f1) - float(f0)) < 1.5e-3, (float(f0), float(f1))
+    assert abs(float(f0) - 0.9477) < 6e-3, float(f0)

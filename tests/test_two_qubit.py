@@ -187,38 +187,10 @@ def test_shipped_cz_drive2_pulse_beats_the_crosstalk_ceiling():
     assert F.mean() > 0.90, F.mean()
 
 
-@pytest.mark.artifacts
-def test_shipped_two_qubit_weights_load_and_perform():
-    """The shipped two-qubit universal artifact (band-0 sigma=0 eval 0.9944
-    at training): loaded through the npz serializer it must map reachable
-    SU(4) targets to pulses with E[F] > 0.9 at zero disorder."""
-    from pathlib import Path
-
-    from universal_quantum_optimal_control_tpu.models.serialization import (
-        load_params_npz,
-    )
-    from universal_quantum_optimal_control_tpu.workloads.two_qubit import (
-        build_targets,
-    )
-
-    path = (Path(__file__).parent.parent
-            / "universal_quantum_optimal_control_tpu" / "demo" / "weights"
-            / "two_qubit_d512.npz")
-    system = su4.TwoQubitSystem()
-    model = TwoQubitQOCTransformer(
-        pulse_space=normalize_pulse_space({"phi": (-3.15, 3.15),
-                                           "tau": (0.1, 0.5)}),
-        max_pulses=40, d_model=512, n_layers=8, n_heads=16,
-        dtype=jnp.float32)
-    targets = build_targets(jax.random.PRNGKey(42), 4, system)
-    params = load_params_npz(str(path),
-                             model.init(jax.random.PRNGKey(0), targets))
-    pulses = model.apply(params, targets)
-    z = jnp.zeros(4)
-    Ur, Ui = su4.propagate_su4(pulses, z, z, z, system)
-    F = np.asarray(su4.fidelity_su4_ri(
-        Ur, Ui, targets[:, 0], targets[:, 1]))
-    assert F.mean() > 0.9, F
+# (the chi-only-system artifact two_qubit_d512.npz and its
+# load-and-perform test were pruned in round 4: strictly dominated by the
+# drive2 KAK trio, whose three artifacts-marked tests below exercise the
+# same serializer->model->propagate path.)
 
 
 # ---------------------------------------------------------------------------
@@ -509,12 +481,13 @@ def test_shipped_drive2_kak_model_serves_named_gates_robustly():
 
 @pytest.mark.artifacts
 def test_shipped_s04_band_model_serves_deep_disorder():
-    """The sigma=0.4-band artifact (two_qubit_d2_kak_s04.npz — the 16k
-    chain's deep-disorder band; docs/two_qubit_results.md §The 16k
-    retrain) must serve deep-disorder requests: at sigma=0.4 it beats the
-    sigma=0.2 flagship's extension on 4 of 5 named gates (TPU M=20000:
-    cz 0.7470 vs 0.6505, zz 0.8156 vs 0.7180, cnot 0.6727 vs 0.6608,
-    sqrt_swap 0.6977 vs 0.6699)."""
+    """The sigma=0.4-band artifact (two_qubit_d2_kak_s04.npz — the 32k
+    chain's deep-disorder band since round 4; docs/two_qubit_results.md
+    §The 32k probe) must serve deep-disorder requests: at sigma=0.4 it
+    beats the 16k band it replaced on ALL FIVE named gates (TPU M=20000:
+    cz 0.7842 vs 0.7470, zz 0.8202 vs 0.8156, cnot 0.7061 vs 0.6727,
+    iswap 0.7121 vs 0.6099, sqrt_swap 0.7153 vs 0.6977), int8-encoded
+    (matched-draw |dE[F]| <= 2e-3)."""
     from pathlib import Path
 
     from universal_quantum_optimal_control_tpu.optimizers.two_qubit_grape \
@@ -533,9 +506,9 @@ def test_shipped_s04_band_model_serves_deep_disorder():
                                kak_tokens=True, omega_min=0.05)
     table = eval_pulse_tables(pulses, packed, [0.0, 0.4],
                               monte_carlo=512, system=system)
-    # TPU M=20000 reference: sigma=0 cz 0.8177 / cnot 0.8200 / zz 0.9231;
-    # sigma=0.4 cz 0.6800 / cnot 0.6890 / zz 0.8048 — thresholds leave
-    # wide MC margin
+    # shipped-artifact reference (CPU MC 512, matched key): sigma=0
+    # cz 0.8996 / cnot 0.8598 / zz 0.9163; sigma=0.4 cz 0.7875 /
+    # cnot 0.7080 / zz 0.8221 — thresholds leave wide MC margin
     assert table[:, 0].min() > 0.75, table
     assert table[:, 1].min() > 0.60, table
 

@@ -86,7 +86,9 @@ MODEL_VARIANTS: Dict[str, Dict] = {
 # "model" variants run the shipped universal TwoQubitQOCTransformer on a
 # named gate; "pulse" variants render a shipped single-target pulse table.
 TWO_QUBIT_VARIANTS: Dict[str, Dict] = {
-    "two_qubit_d512": {"checkpoint": str(_WEIGHTS_DIR / "two_qubit_d512.npz")},
+    # (the original chi-only-system artifact two_qubit_d512.npz was pruned
+    # in round 4 — strictly dominated by the drive2 KAK trio below;
+    # reproduce via docs/two_qubit_results.md §Universal two-qubit model)
     # round-3 flagship: drive2 system + KAK-mixed targets + kak_tokens
     # featurization — named edge-class gates (CZ/CNOT/iSWAP) now serve at
     # high fidelity (docs/two_qubit_results.md §Named-gate coverage)

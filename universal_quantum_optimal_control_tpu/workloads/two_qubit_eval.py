@@ -36,7 +36,7 @@ from ..training.systems import SU4System
 __all__ = ["main", "eval_pulse_tables", "model_gate_pulses"]
 
 _WEIGHTS = Path(__file__).parent.parent / "demo" / "weights"
-DEFAULT_CKPT = str(_WEIGHTS / "two_qubit_d512.npz")
+DEFAULT_CKPT = str(_WEIGHTS / "two_qubit_d2_kak.npz")
 
 
 def model_gate_pulses(checkpoint: str, targets_packed: jax.Array,
@@ -153,17 +153,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the markdown table here as well")
     p.add_argument("--save_pulses", default=None,
                    help="write per-gate model pulse tables to this .npz")
-    p.add_argument("--drive2", action="store_true",
+    p.add_argument("--drive2", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="the checkpoint was trained on the drive2 system "
-                        "(4-parameter pulses); evaluate on it too")
+                        "(4-parameter pulses); evaluate on it too.  Default "
+                        "matches the shipped KAK-trio default checkpoint; "
+                        "--no-drive2 for chi-only-system checkpoints")
     p.add_argument("--kak_features", action="store_true",
                    help="the checkpoint uses the Makhlin/KAK input token")
-    p.add_argument("--omega_min", type=float, default=0.0,
+    p.add_argument("--omega_min", type=float, default=0.05,
                    help="Omega range low edge baked into the checkpoint's "
-                        "head at training time (two_qubit --omega_min)")
-    p.add_argument("--kak_tokens", action="store_true",
+                        "head at training time (two_qubit --omega_min); "
+                        "default matches the shipped KAK trio")
+    p.add_argument("--kak_tokens", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="the checkpoint uses the full KAK featurization "
-                        "(data/su4_targets.py::kak_input_tokens)")
+                        "(data/su4_targets.py::kak_input_tokens); default "
+                        "matches the shipped KAK trio")
     p.add_argument("--best_phase", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="inference-time phase canonicalization: run the "
