@@ -101,9 +101,11 @@ TWO_QUBIT_VARIANTS: Dict[str, Dict] = {
     "two_qubit_d2_kak_s0": {
         "checkpoint": str(_WEIGHTS_DIR / "two_qubit_d2_kak_s0.npz"),
         "drive2": True, "kak_tokens": True, "omega_min": 0.05},
-    # deep-disorder band of the flagship (sigma_delta=0.4-trained from the
-    # edge2 corner-aware start) — the better server for sigma >= 0.35
-    # (docs/two_qubit_results.md §The sigma=0.4 band)
+    # deep-disorder band of the flagship (sigma_delta=0.4 band of the 32k
+    # chain since round 4) — the better server for sigma >= 0.35: beats the
+    # flagship's extension there on all five named gates (flagship
+    # 0.6155-0.7180 vs this 0.7061-0.8202 at sigma=0.4 — docs/
+    # two_qubit_results.md §The 32k probe)
     "two_qubit_d2_kak_s04": {
         "checkpoint": str(_WEIGHTS_DIR / "two_qubit_d2_kak_s04.npz"),
         "drive2": True, "kak_tokens": True, "omega_min": 0.05},
