@@ -96,6 +96,8 @@ def build_parser():
     p.add_argument("--monte_carlo", type=int, default=4096)
     p.add_argument("--eval_mc", type=int, default=200_000)
     p.add_argument("--learning_rate", type=float, default=3e-3)
+    p.add_argument("--curriculum", default="0.4:800,0.7:800,1.0:1500",
+                   help="comma-separated sigma:steps bands")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
     p.add_argument("--gates", default=None,
@@ -109,11 +111,13 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     gates = args.gates.split(",") if args.gates else None
+    curriculum = tuple((float(b.split(":")[0]), int(b.split(":")[1]))
+                       for b in args.curriculum.split(","))
     rows, best = measure_ceiling(
         starts=args.starts, num_pulses=args.num_pulses,
         monte_carlo=args.monte_carlo, eval_mc=args.eval_mc,
         learning_rate=args.learning_rate, seed=args.seed,
-        backend=args.backend, gates=gates)
+        curriculum=curriculum, backend=args.backend, gates=gates)
     lines = ["| gate | P=4 GRAPE ceiling (best of "
              f"{args.starts}) | mean over starts |", "|---|---:|---:|"]
     for g, best_f, mean_f, _ in rows:
