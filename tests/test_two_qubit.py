@@ -558,9 +558,13 @@ def test_split_eval_cli_reports_halves():
             / "two_qubit_d2_kak.npz")
     out = split_eval(str(path), sigma=0.0, monte_carlo=4, eval_size=16,
                      chunk=8, drive2=True, kak_tokens=True, omega_min=0.05)
-    assert set(out) == {"products", "kak", "blended"}
+    assert set(out) == {"products", "kak", "blended", "per_target", "targets"}
     assert 0.0 < out["kak"] <= 1.001 and 0.0 < out["products"] <= 1.001
     assert abs(out["blended"] - (out["products"] + out["kak"]) / 2) < 1e-6
+    # per-target breakdown (the sigma=0.2 KAK calibration consumes these)
+    assert out["per_target"].shape == (16,)
+    assert out["targets"].shape == (16, 2, 4, 4)  # SoA (re, im) layout
+    assert abs(out["per_target"][8:].mean() - out["kak"]) < 1e-6
 
 
 def test_shipped_two_qubit_gate_bundle_loads_and_performs():

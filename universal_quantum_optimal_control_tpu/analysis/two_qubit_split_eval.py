@@ -73,7 +73,9 @@ def split_eval(checkpoint: str, *, sigma: float, monte_carlo: int = 2048,
     half = eval_size // 2
     return {"products": float(F[:half].mean()),
             "kak": float(F[half:].mean()),
-            "blended": float(F.mean())}
+            "blended": float(F.mean()),
+            "per_target": F,
+            "targets": np.asarray(eval_t)}
 
 
 def main(argv=None) -> None:
@@ -93,6 +95,16 @@ def main(argv=None) -> None:
     p.add_argument("--kak_features", action="store_true")
     p.add_argument("--kak_tokens", action="store_true")
     p.add_argument("--omega_min", type=float, default=0.0)
+    p.add_argument("--per_target_csv", default=None,
+                   help="write index,class,fid per eval target")
+    p.add_argument("--dump_kak_percentiles", default=None,
+                   help="comma list of percentiles of the KAK-half fidelity "
+                        "distribution (e.g. '10,50,90'); the target nearest "
+                        "each is dumped as <dump_dir>/kak_p<P>_i<IDX>.npz "
+                        "with a (4,4) 'u_target' — the input format "
+                        "workloads/two_qubit_grape.py --target_npz takes "
+                        "for single-target ceiling calibration")
+    p.add_argument("--dump_dir", default="runs/kak_targets")
     args = p.parse_args(argv)
 
     out = split_eval(
@@ -105,6 +117,34 @@ def main(argv=None) -> None:
     print(f"sigma={args.sigma} M={args.monte_carlo} "
           f"products_half={out['products']:.4f} kak_half={out['kak']:.4f} "
           f"blended={out['blended']:.4f}")
+
+    import os
+
+    half = args.eval_size // 2
+    if args.per_target_csv:
+        if os.path.dirname(args.per_target_csv):
+            os.makedirs(os.path.dirname(args.per_target_csv), exist_ok=True)
+        with open(args.per_target_csv, "w") as f:
+            f.write("index,class,fid\n")
+            for i, v in enumerate(out["per_target"]):
+                f.write(f"{i},{'products' if i < half else 'kak'},{v:.6f}\n")
+        print(f"per-target CSV -> {args.per_target_csv}")
+    if args.dump_kak_percentiles:
+        os.makedirs(args.dump_dir, exist_ok=True)
+        kak_f = out["per_target"][half:]
+        order = np.argsort(kak_f)
+        for ptxt in args.dump_kak_percentiles.split(","):
+            pct = float(ptxt)
+            j = order[min(len(order) - 1,
+                          int(round(pct / 100 * (len(order) - 1))))]
+            idx = half + int(j)
+            path = os.path.join(args.dump_dir, f"kak_p{ptxt}_i{idx}.npz")
+            # targets are SoA (re, im) stacked — two_qubit_grape takes complex
+            u_c = out["targets"][idx, 0] + 1j * out["targets"][idx, 1]
+            np.savez(path, u_target=u_c,
+                     model_fid=out["per_target"][idx], sigma=args.sigma)
+            print(f"p{ptxt}: eval index {idx} model_fid="
+                  f"{out['per_target'][idx]:.4f} -> {path}")
 
 
 if __name__ == "__main__":
