@@ -318,3 +318,78 @@ def test_collapse_recovery_reloads_best():
     assert band["recoveries"] >= 1, (
         "run never dipped 1e-4 below its best — scenario too tame")
     assert all(np.isfinite(v) for v in band["eval_fid"])
+
+
+def test_tail_focus_objective_is_mean_of_worst_k_losses():
+    """CVaR objective (TrainConfig.tail_focus): loss equals the mean of the
+    per-target sharp losses over the worst-k targets; the aux stays the full
+    batch-mean E[F]."""
+    from universal_quantum_optimal_control_tpu.core import objectives
+
+    model = UniversalQOCTransformer(
+        num_qubits=1, max_pulses=6, d_model=16, n_layers=1, n_heads=2,
+        dropout=0.0, dtype=jnp.float32,
+        pulse_space=normalize_pulse_space({"phi": (-3.15, 3.15),
+                                           "tau": (0.1, 0.5)}))
+    rv, qt = build_su2_dataset(jax.random.PRNGKey(1), 8, random=True)
+    cfg = TrainConfig(monte_carlo=32, batch_size=8, epochs=1,
+                      tail_focus=0.25)
+    trainer = Trainer(model, cfg)
+    params = trainer.init_params(rv[:2])
+    errors = trainer.system.sample_errors(
+        jax.random.PRNGKey(2), (8, 32), 0.3, 0.05)
+
+    loss, aux = trainer._objective(params, rv, qt, errors, None)
+
+    pulses = trainer._apply_model(params, rv)
+    f = np.asarray(trainer.system.local_mean_fidelity(pulses, qt, errors))
+    per_target_loss = np.asarray(objectives.sharp_loss(
+        jnp.asarray(f), cfg.loss_tau_bar, cfg.loss_k))
+    k = max(1, round(cfg.tail_focus * 8))
+    expected = np.sort(per_target_loss)[::-1][:k].mean()
+    np.testing.assert_allclose(float(loss), expected, rtol=1e-6)
+    np.testing.assert_allclose(float(aux), f.mean(), rtol=1e-6)
+    assert k == 2  # the worst-2 of 8: genuinely a strict subset
+
+
+def test_per_target_objective_sharded_matches_local():
+    """make_per_target_objective on the virtual mesh == unsharded (B,)."""
+    from universal_quantum_optimal_control_tpu.training.systems import (
+        SU2System,
+        make_per_target_objective,
+    )
+
+    mesh = make_mesh(8, data=2, mc=4)
+    system = SU2System()
+    B, L, M = 4, 10, 256
+    k1, k2, k3, k4, k5 = jax.random.split(jax.random.PRNGKey(3), 5)
+    pulses = jnp.stack([
+        jax.random.uniform(k1, (B, L), minval=-np.pi, maxval=np.pi),
+        jax.random.uniform(k2, (B, L), minval=0.05, maxval=0.5)], axis=-1)
+    qt = su2.quat_normalize(jax.random.normal(k3, (B, 4)))
+    errors = (jax.random.normal(k4, (B, M)),
+              jax.random.normal(k5, (B, M)) * 0.05)
+
+    local = make_per_target_objective(None, system.local_mean_fidelity)
+    sharded = make_per_target_objective(mesh, system.local_mean_fidelity)
+    f_local = np.asarray(local(pulses, qt, errors))
+    f_shard = np.asarray(jax.jit(sharded)(pulses, qt, errors))
+    assert f_local.shape == (B,) and f_shard.shape == (B,)
+    np.testing.assert_allclose(f_local, f_shard, atol=1e-6)
+
+
+def test_tail_focus_training_improves():
+    """A short CVaR-loss curriculum still trains (GRAPE X-gate slice)."""
+    model = GRAPE(num_pulses=12, pulse_space=normalize_pulse_space(
+        {"phi": (-3.15, 3.15), "tau": (0.1, 0.5)}))
+    rv, qt = x_gate_data()
+    rv = jnp.tile(rv, (4, 1))
+    qt = jnp.tile(qt, (4, 1))
+    cfg = TrainConfig(monte_carlo=128, batch_size=4, epochs=15,
+                      learning_rate=3e-3, tail_focus=0.5)
+    trainer = Trainer(model, cfg)
+    params, history = trainer.train(rv, qt, rv, qt,
+                                    curriculum=[CurriculumBand(0.1)])
+    h = history["bands"][0]
+    assert h["eval_fid"][-1] > h["eval_fid"][0]
+    assert h["best_fid"] > 0.7

@@ -22,7 +22,8 @@ from ..core.errors import sample_ore_ple
 from ..parallel.mc_parallel import mean_fidelity_local
 from ..parallel.mesh import DATA_AXIS, MC_AXIS
 
-__all__ = ["SU2System", "SU4System", "make_objective"]
+__all__ = ["SU2System", "SU4System", "make_objective",
+           "make_per_target_objective"]
 
 
 def make_objective(mesh: Optional[Mesh], local_fn):
@@ -45,6 +46,31 @@ def make_objective(mesh: Optional[Mesh], local_fn):
     def objective(pulses, target, errors):
         f_local = local_fn(pulses, target, errors)
         return jax.lax.pmean(jnp.mean(f_local), (DATA_AXIS, MC_AXIS))
+
+    return objective
+
+
+def make_per_target_objective(mesh: Optional[Mesh], local_fn):
+    """Like :func:`make_objective` but returns the per-target ``(B,)`` mean
+    fidelities instead of the batch-mean scalar — the input a tail-focused
+    (CVaR) loss needs (``TrainConfig.tail_focus``).  On a mesh the MC axis is
+    pmean-reduced and the data axis stays sharded ``P(DATA_AXIS)``; the
+    caller's top-k then runs on the gathered global batch."""
+    if mesh is None:
+        def objective(pulses, target, errors):
+            return local_fn(pulses, target, errors)
+        return objective
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS, MC_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )
+    def objective(pulses, target, errors):
+        f_local = local_fn(pulses, target, errors)
+        return jax.lax.pmean(f_local, MC_AXIS)
 
     return objective
 

@@ -33,7 +33,7 @@ from jax.sharding import Mesh
 from ..core import objectives
 from ..parallel.mesh import DATA_AXIS, replicated, shard_spec
 from .metrics import MetricsLogger
-from .systems import SU2System, make_objective
+from .systems import SU2System, make_objective, make_per_target_objective
 
 __all__ = ["TrainConfig", "CurriculumBand", "Trainer", "default_curriculum"]
 
@@ -99,6 +99,15 @@ class TrainConfig:
                                       # encoders at lr ≫ 3e-5 can fall into
                                       # unrecoverable basins mid-band)
     recover_patience: int = 3
+    tail_focus: float = 0.0           # if > 0: CVaR objective — mean loss
+                                      # over the worst `tail_focus` fraction
+                                      # of per-target E[F] in each minibatch
+                                      # (instead of loss of the batch-mean
+                                      # E[F]).  Built for the two-qubit KAK
+                                      # tail, whose hardness is measured to be
+                                      # structureless in Cartan/local-factor
+                                      # features (docs/two_qubit_results.md)
+                                      # so it cannot be targeted by sampling.
 
 
 class Trainer:
@@ -155,6 +164,9 @@ class Trainer:
             self._loss_of_mean_fid = base_loss
 
         self._mean_fid = make_objective(mesh, self.system.local_mean_fidelity)
+        self._per_target_fid = (
+            make_per_target_objective(mesh, self.system.local_mean_fidelity)
+            if config.tail_focus > 0 else None)
         # deterministic forward (band-end pulse export) — jitted: an eager
         # d512 transformer dispatch per batch stalls band transitions for
         # minutes on remote-device backends
@@ -187,6 +199,14 @@ class Trainer:
 
     def _objective(self, params, rv, target, errors, dropout_key):
         pulses = self._apply_model(params, rv, dropout_key)
+        if self._per_target_fid is not None:
+            # CVaR: per-target loss, averaged over the worst `tail_focus`
+            # fraction of the batch.  The losses are elementwise monotone
+            # decreasing in E[F], so top-k losses == worst-k targets.
+            f = self._per_target_fid(pulses, target, errors)
+            k = max(1, round(self.config.tail_focus * f.shape[0]))
+            worst = jax.lax.top_k(self._loss_of_mean_fid(f), k)[0]
+            return jnp.mean(worst), jnp.mean(f)
         mean_fid = self._mean_fid(pulses, target, errors)
         return self._loss_of_mean_fid(mean_fid), mean_fid
 

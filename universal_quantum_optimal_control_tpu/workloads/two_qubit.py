@@ -119,6 +119,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mid-band collapse recovery threshold (0 = off)")
     p.add_argument("--state_every", type=int, default=0,
                    help="checkpoint FULL resume state every N epochs")
+    p.add_argument("--tail_focus", type=float, default=0.0,
+                   help="if > 0: CVaR training — average the loss over only "
+                        "the worst this-fraction of per-target E[F] in each "
+                        "minibatch (e.g. 0.25). Targets the KAK-tail, whose "
+                        "hardness is structureless in Cartan/local-factor "
+                        "features so it cannot be curated by sampling")
     p.add_argument("--pulse_params", type=int, default=2, choices=[2, 3],
                    help="2 = (phi, tau); 3 = (phi, Omega, tau) amplitude "
                         "control — Omega -> 0 expresses free-ZZ evolution, "
@@ -233,7 +239,7 @@ def main(argv=None) -> None:
         loss="sharp", seed=args.seed, fused_epoch=args.fused_epoch,
         reset_optimizer_per_band=args.reset_opt_per_band,
         shuffle=args.shuffle, recover_collapse=args.recover_collapse,
-        state_every=args.state_every,
+        state_every=args.state_every, tail_focus=args.tail_focus,
     )
     trainer = Trainer(model, cfg, system=system)
 
