@@ -351,6 +351,18 @@ def test_tail_focus_objective_is_mean_of_worst_k_losses():
     np.testing.assert_allclose(float(aux), f.mean(), rtol=1e-6)
     assert k == 2  # the worst-2 of 8: genuinely a strict subset
 
+    # mixture semantics (TrainConfig.tail_weight): loss blends the
+    # mean-anchored objective with the CVaR term
+    cfg_mix = TrainConfig(monte_carlo=32, batch_size=8, epochs=1,
+                          tail_focus=0.25, tail_weight=0.5)
+    trainer_mix = Trainer(model, cfg_mix)
+    loss_mix, aux_mix = trainer_mix._objective(params, rv, qt, errors, None)
+    mean_loss = float(objectives.sharp_loss(
+        jnp.asarray(f.mean()), cfg.loss_tau_bar, cfg.loss_k))
+    np.testing.assert_allclose(float(loss_mix),
+                               0.5 * mean_loss + 0.5 * expected, rtol=1e-6)
+    np.testing.assert_allclose(float(aux_mix), f.mean(), rtol=1e-6)
+
 
 def test_per_target_objective_sharded_matches_local():
     """make_per_target_objective on the virtual mesh == unsharded (B,)."""

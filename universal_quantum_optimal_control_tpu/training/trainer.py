@@ -108,6 +108,13 @@ class TrainConfig:
                                       # structureless in Cartan/local-factor
                                       # features (docs/two_qubit_results.md)
                                       # so it cannot be targeted by sampling.
+    tail_weight: float = 1.0          # CVaR mixture: loss = (1 - w) * loss of
+                                      # the batch-mean E[F] + w * CVaR term.
+                                      # 1.0 = pure CVaR (measured to trade the
+                                      # held-out mean away); < 1 keeps the
+                                      # mean-anchored objective and adds tail
+                                      # pressure on top.  Ignored unless
+                                      # tail_focus > 0.
 
 
 class Trainer:
@@ -206,7 +213,11 @@ class Trainer:
             f = self._per_target_fid(pulses, target, errors)
             k = max(1, round(self.config.tail_focus * f.shape[0]))
             worst = jax.lax.top_k(self._loss_of_mean_fid(f), k)[0]
-            return jnp.mean(worst), jnp.mean(f)
+            w = self.config.tail_weight
+            loss = (jnp.mean(worst) if w >= 1.0 else
+                    (1.0 - w) * self._loss_of_mean_fid(jnp.mean(f))
+                    + w * jnp.mean(worst))
+            return loss, jnp.mean(f)
         mean_fid = self._mean_fid(pulses, target, errors)
         return self._loss_of_mean_fid(mean_fid), mean_fid
 

@@ -125,6 +125,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "minibatch (e.g. 0.25). Targets the KAK-tail, whose "
                         "hardness is structureless in Cartan/local-factor "
                         "features so it cannot be curated by sampling")
+    p.add_argument("--tail_weight", type=float, default=1.0,
+                   help="CVaR mixture weight w: loss = (1-w)*mean-loss + "
+                        "w*CVaR (1.0 = pure CVaR; 0.5 keeps the mean "
+                        "anchored while adding tail pressure)")
     p.add_argument("--pulse_params", type=int, default=2, choices=[2, 3],
                    help="2 = (phi, tau); 3 = (phi, Omega, tau) amplitude "
                         "control — Omega -> 0 expresses free-ZZ evolution, "
@@ -240,6 +244,7 @@ def main(argv=None) -> None:
         reset_optimizer_per_band=args.reset_opt_per_band,
         shuffle=args.shuffle, recover_collapse=args.recover_collapse,
         state_every=args.state_every, tail_focus=args.tail_focus,
+        tail_weight=args.tail_weight,
     )
     trainer = Trainer(model, cfg, system=system)
 
