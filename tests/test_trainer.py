@@ -358,10 +358,22 @@ def test_tail_focus_objective_is_mean_of_worst_k_losses():
     trainer_mix = Trainer(model, cfg_mix)
     loss_mix, aux_mix = trainer_mix._objective(params, rv, qt, errors, None)
     mean_loss = float(objectives.sharp_loss(
-        jnp.asarray(f.mean()), cfg.loss_tau_bar, cfg.loss_k))
+        jnp.asarray(f.mean()), cfg_mix.loss_tau_bar, cfg_mix.loss_k))
+    k_mix = max(1, round(cfg_mix.tail_focus * 8))
+    per_target_mix = np.asarray(objectives.sharp_loss(
+        jnp.asarray(f), cfg_mix.loss_tau_bar, cfg_mix.loss_k))
+    cvar_mix = np.sort(per_target_mix)[::-1][:k_mix].mean()
     np.testing.assert_allclose(float(loss_mix),
-                               0.5 * mean_loss + 0.5 * expected, rtol=1e-6)
+                               0.5 * mean_loss + 0.5 * cvar_mix, rtol=1e-6)
     np.testing.assert_allclose(float(aux_mix), f.mean(), rtol=1e-6)
+
+    # out-of-range mixture weights are config mistakes, not modes:
+    # w < 0 would maximize the worst-target loss, w > 1 silently clamps
+    for bad_w in (-0.5, 1.5):
+        with pytest.raises(ValueError, match="tail_weight"):
+            Trainer(model, TrainConfig(monte_carlo=32, batch_size=8,
+                                       epochs=1, tail_focus=0.25,
+                                       tail_weight=bad_w))
 
 
 def test_per_target_objective_sharded_matches_local():

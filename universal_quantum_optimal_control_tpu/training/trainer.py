@@ -144,6 +144,12 @@ class Trainer:
         self.base_pulse = base_pulse
         self.system = system if system is not None else SU2System(config.backend)
 
+        if not 0.0 <= config.tail_weight <= 1.0:
+            # w > 1 would silently clamp to pure CVaR; w < 0 would MAXIMIZE
+            # the worst-target loss — both are config mistakes, not modes.
+            raise ValueError(
+                f"tail_weight must be in [0, 1], got {config.tail_weight}")
+
         if config.lr_schedule == "cosine":
             total = max(config.lr_schedule_steps, 1)
             warmup = max(total // 20, 1)

@@ -264,17 +264,16 @@ def main(argv=None) -> None:
         print(f"restored two-qubit params from {args.restore}")
     if args.pretrained_single_qubit:
         if args.pretrained_single_qubit.endswith(".npz"):
-            # a shipped single-qubit artifact (e.g. demo/weights/length100.npz)
-            from ..models import UniversalQOCTransformer
-            from ..models.serialization import load_params_npz
+            # a shipped single-qubit artifact (e.g. demo/weights/length100.npz).
+            # Tree (template-free) load: transfer_encoder_params copies every
+            # shape-matching encoder block, so the source geometry need not
+            # equal the destination's (e.g. an 8-layer d512 flagship into a
+            # 12-layer two-qubit model transplants encoder_0..7 and leaves
+            # the rest at init — the round-5 capacity-probe path).
+            from ..models.serialization import load_params_npz_tree
 
-            single = UniversalQOCTransformer(
-                max_pulses=100, d_model=args.d_model, n_layers=args.n_layers,
-                n_heads=args.n_heads, dtype=jnp.float32)
-            rv = jnp.asarray([[1.0, 0.0, 0.0, np.pi]], jnp.float32)
-            template = single.init(jax.random.PRNGKey(0), rv)
-            single_params = load_params_npz(args.pretrained_single_qubit,
-                                            template)
+            single_params = load_params_npz_tree(
+                args.pretrained_single_qubit)
         else:
             base_dir, tag = args.pretrained_single_qubit.rsplit(":", 1)
             single_params, _ = restore_checkpoint(base_dir, tag)
