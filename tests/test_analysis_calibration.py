@@ -92,6 +92,7 @@ def test_split_eval_csv_and_percentile_dump_roundtrip(tmp_path):
         "--n_heads", "4", "--drive2", "--kak_tokens", "--omega_min", "0.05",
         "--per_target_csv", csv_path,
         "--dump_kak_percentiles", "50", "--dump_dir", dump_dir,
+        "--channels_worst_decile", "--channels_mc", "32",
     ])
 
     rows = open(csv_path).read().strip().splitlines()

@@ -75,7 +75,8 @@ def split_eval(checkpoint: str, *, sigma: float, monte_carlo: int = 2048,
             "kak": float(F[half:].mean()),
             "blended": float(F.mean()),
             "per_target": F,
-            "targets": np.asarray(eval_t)}
+            "targets": np.asarray(eval_t),
+            "pulses": np.asarray(all_pulses)}
 
 
 def main(argv=None) -> None:
@@ -105,6 +106,12 @@ def main(argv=None) -> None:
                         "workloads/two_qubit_grape.py --target_npz takes "
                         "for single-target ceiling calibration")
     p.add_argument("--dump_dir", default="runs/kak_targets")
+    p.add_argument("--channels_worst_decile", action="store_true",
+                   help="per-channel (δ₁/δ₂/ε) loss decomposition of the "
+                        "worst-decile KAK-half targets at --sigma, via "
+                        "analysis/dephasing_bound.measure_channels — says "
+                        "WHICH disorder channel the tail loses to")
+    p.add_argument("--channels_mc", type=int, default=20_000)
     args = p.parse_args(argv)
 
     out = split_eval(
@@ -145,6 +152,38 @@ def main(argv=None) -> None:
                      model_fid=out["per_target"][idx], sigma=args.sigma)
             print(f"p{ptxt}: eval index {idx} model_fid="
                   f"{out['per_target'][idx]:.4f} -> {path}")
+
+    if args.channels_worst_decile:
+        from .dephasing_bound import measure_channels
+
+        system = SU4System(drive2=args.drive2)
+        kak_f = out["per_target"][half:]
+        order = np.argsort(kak_f)
+        n10 = max(len(order) // 10, 1)
+        groups = {
+            "products half": np.arange(half),
+            "KAK better 90%": half + order[n10:],
+            "KAK worst decile": half + order[:n10],
+        }
+        print(f"\nper-channel decomposition at sigma={args.sigma} "
+              f"(M={args.channels_mc}, eps_std={args.epsilon_std}):")
+        print("| subset | exact (no disorder) | E[F] δ₁ only | δ₂ only "
+              "| ε only | full | f₁·f₂·f_ε |")
+        print("|---|---:|---:|---:|---:|---:|---:|")
+        for name, idx in groups.items():
+            pl = jnp.asarray(out["pulses"][idx])
+            ts = jnp.asarray(out["targets"][idx])
+            z = jnp.zeros((len(idx), 1))
+            f_exact = float(np.mean(np.asarray(
+                system.local_mean_fidelity(pl, ts, (z, z, z)))))
+            rows, T_mean, _ = measure_channels(
+                pl, ts, [args.sigma], system=system,
+                monte_carlo=args.channels_mc,
+                epsilon_std=args.epsilon_std)
+            _, f1, f2, fe, ff, fp = rows[0]
+            print(f"| {name} (n={len(idx)}, T̄={T_mean:.1f}) | {f_exact:.4f} "
+                  f"| {f1:.4f} | {f2:.4f} | {fe:.4f} | {ff:.4f} "
+                  f"| {fp:.4f} |")
 
 
 if __name__ == "__main__":
