@@ -153,6 +153,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the markdown table here as well")
     p.add_argument("--save_pulses", default=None,
                    help="write per-gate model pulse tables to this .npz")
+    p.add_argument("--max_pulses", type=int, default=40,
+                   help="checkpoint's pulse-sequence length (the shipped "
+                        "trio is L=40; the round-5 time-budget runs L=100)")
+    p.add_argument("--d_model", type=int, default=512)
+    p.add_argument("--n_layers", type=int, default=8)
+    p.add_argument("--n_heads", type=int, default=16)
     p.add_argument("--drive2", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="the checkpoint was trained on the drive2 system "
@@ -185,7 +191,9 @@ def main(argv=None) -> None:
     sigmas = [float(s) for s in args.sigmas.split(",")]
     system = SU4System(drive2=args.drive2)
     model_kw = dict(drive2=args.drive2, kak_features=args.kak_features,
-                    kak_tokens=args.kak_tokens, omega_min=args.omega_min)
+                    kak_tokens=args.kak_tokens, omega_min=args.omega_min,
+                    max_pulses=args.max_pulses, d_model=args.d_model,
+                    n_layers=args.n_layers, n_heads=args.n_heads)
 
     gates = named_two_qubit_targets()
     names = list(gates)
