@@ -558,7 +558,8 @@ def test_split_eval_cli_reports_halves():
             / "two_qubit_d2_kak.npz")
     out = split_eval(str(path), sigma=0.0, monte_carlo=4, eval_size=16,
                      chunk=8, drive2=True, kak_tokens=True, omega_min=0.05)
-    assert set(out) == {"products", "kak", "blended", "per_target", "targets"}
+    assert set(out) == {"products", "kak", "blended", "per_target",
+                        "targets", "pulses"}
     assert 0.0 < out["kak"] <= 1.001 and 0.0 < out["products"] <= 1.001
     assert abs(out["blended"] - (out["products"] + out["kak"]) / 2) < 1e-6
     # per-target breakdown (the sigma=0.2 KAK calibration consumes these)
