@@ -100,6 +100,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pretrained_single_qubit", type=str, default=None,
                    help="checkpoint dir:tag of a single-qubit model whose "
                         "encoder is transplanted before finetuning")
+    p.add_argument("--transfer_also", type=str, default="",
+                   help="comma list of extra top-level modules to transplant "
+                        "alongside the encoder blocks when shapes match "
+                        "(e.g. 'unitary_proj' for a two-qubit -> two-qubit "
+                        "warm start across max_pulses, or "
+                        "'unitary_proj,head' for the n_layers capacity probe "
+                        "where the head geometry is unchanged)")
     p.add_argument("--restore", type=str, default=None,
                    help="TWO-QUBIT weights to restore full params from "
                         "before training: either a checkpoint dir:tag of an "
@@ -277,7 +284,8 @@ def main(argv=None) -> None:
         else:
             base_dir, tag = args.pretrained_single_qubit.rsplit(":", 1)
             single_params, _ = restore_checkpoint(base_dir, tag)
-        params = transfer_encoder_params(single_params, params)
+        also = tuple(m for m in args.transfer_also.split(",") if m)
+        params = transfer_encoder_params(single_params, params, also=also)
         print(f"transferred encoder from {args.pretrained_single_qubit}")
 
     curriculum = [CurriculumBand(float(d))
