@@ -74,6 +74,44 @@ def test_encoder_transfer_from_single_qubit():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+def test_transfer_also_cross_geometry_two_qubit_warm_start():
+    """The round-5 warm-start paths: (a) L=40 -> L=100 transplant carries
+    encoder blocks + unitary_proj and leaves the (L-shaped) head at the
+    destination init; (b) 8-layer -> 12-layer transplant carries the head
+    too (same geometry) and leaves the extra encoder blocks at init."""
+    kw = dict(d_model=32, n_heads=4, dtype=jnp.float32)
+    src = TwoQubitQOCTransformer(max_pulses=6, n_layers=2, **kw)
+    p_src = src.init(jax.random.PRNGKey(0), packed_cz())
+
+    # (a) cross-max_pulses: head shapes differ -> not copied even if named
+    dst_l = TwoQubitQOCTransformer(max_pulses=9, n_layers=2, **kw)
+    p_dst = dst_l.init(jax.random.PRNGKey(1), packed_cz())
+    p_t = transfer_encoder_params(p_src, p_dst,
+                                  also=("unitary_proj", "head"))
+    np.testing.assert_array_equal(
+        np.asarray(p_t["params"]["unitary_proj"]["kernel"]),
+        np.asarray(p_src["params"]["unitary_proj"]["kernel"]))
+    np.testing.assert_array_equal(
+        np.asarray(p_t["params"]["head"]["kernel"]),
+        np.asarray(p_dst["params"]["head"]["kernel"]))
+    assert dst_l.apply(p_t, packed_cz()).shape == (1, 9, 2)
+
+    # (b) deeper destination: encoder_0..1 + head copied, encoder_2.. at init
+    dst_d = TwoQubitQOCTransformer(max_pulses=6, n_layers=4, **kw)
+    p_dst = dst_d.init(jax.random.PRNGKey(2), packed_cz())
+    p_t = transfer_encoder_params(p_src, p_dst,
+                                  also=("unitary_proj", "head"))
+    np.testing.assert_array_equal(
+        np.asarray(p_t["params"]["head"]["kernel"]),
+        np.asarray(p_src["params"]["head"]["kernel"]))
+    for a, b in zip(jax.tree_util.tree_leaves(p_src["params"]["encoder_1"]),
+                    jax.tree_util.tree_leaves(p_t["params"]["encoder_1"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(p_dst["params"]["encoder_3"]),
+                    jax.tree_util.tree_leaves(p_t["params"]["encoder_3"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_transfer_mismatched_widths_raises():
     single = UniversalQOCTransformer(max_pulses=8, d_model=16, n_layers=1,
                                      n_heads=2, dtype=jnp.float32)
