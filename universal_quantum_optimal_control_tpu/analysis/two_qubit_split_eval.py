@@ -80,6 +80,9 @@ def split_eval(checkpoint: str, *, sigma: float, monte_carlo: int = 2048,
 
 
 def main(argv=None) -> None:
+    from ..utils.device_warmup import warm_device
+
+    warm_device("split_eval")
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("checkpoint", help="'dir:tag' Orbax checkpoint or .npz")
     p.add_argument("--sigma", type=float, default=0.0)

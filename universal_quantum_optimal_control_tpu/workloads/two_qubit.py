@@ -45,6 +45,12 @@ def build_targets(key: jax.Array, n: int,
     """
     if mode not in ("products", "kak", "mixed"):
         raise ValueError(f"unknown target mode {mode!r}")
+    # NOTE: pass a CPU-resident key (see main(): keys are built under
+    # jax.default_device(cpu)) — the numpy seed below is a host scalar
+    # read, and the axon tunnel's first device->host read from a detached
+    # process can stall for minutes (observed round 5).  threefry is
+    # bit-identical across backends, so a CPU-resident key reproduces the
+    # exact target sets the old device-resident path generated.
     rng = np.random.default_rng(
         int(jax.random.randint(key, (), 0, 2**31 - 1)))
     n_kak = {"products": 0, "kak": n, "mixed": n // 2}[mode]
@@ -60,7 +66,10 @@ def build_targets(key: jax.Array, n: int,
             cols.append(jax.random.uniform(k4, (m, 24), minval=0.0,
                                            maxval=1.0))
         cols.append(jax.random.uniform(k2, (m, 24), minval=0.1, maxval=0.5))
-        pulses = jnp.stack(cols, axis=-1)
+        # the key may be CPU-committed (see the seed note above), which
+        # commits the uniforms to CPU — push the pulse table to the default
+        # (accelerator) device so the propagation compiles there
+        pulses = jax.device_put(jnp.stack(cols, axis=-1), jax.devices()[0])
         Ur, Ui = su4.propagate_su4(pulses, jnp.zeros(m), jnp.zeros(m),
                                    jnp.zeros(m), system)
         parts.append(np.asarray(Ur) + 1j * np.asarray(Ui))
@@ -126,6 +135,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mid-band collapse recovery threshold (0 = off)")
     p.add_argument("--state_every", type=int, default=0,
                    help="checkpoint FULL resume state every N epochs")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the latest full resume state under "
+                        "save_path (written by --state_every); a fresh "
+                        "save_path starts normally — together these make "
+                        "supervised kill-and-restart loops cheap on a "
+                        "flaky device tunnel")
     p.add_argument("--tail_focus", type=float, default=0.0,
                    help="if > 0: CVaR training — average the loss over only "
                         "the worst this-fraction of per-target E[F] in each "
@@ -200,6 +215,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    from ..utils.device_warmup import mark, warm_device
+
+    def _mark(msg: str) -> None:
+        mark("two_qubit", msg)
+
     args = build_parser().parse_args(argv)
     system = SU4System(xtalk=args.xtalk, coupling=args.coupling,
                        backend=args.backend, drive2=args.drive2)
@@ -220,12 +240,22 @@ def main(argv=None) -> None:
         kak_features=args.kak_features, kak_tokens=args.kak_tokens,
     )
 
-    key = jax.random.PRNGKey(args.seed)
-    k1, k2 = jax.random.split(key)
+    # data keys live on CPU: the target-build path reads a host scalar from
+    # them (numpy seed), and the first tunnel D2H from a detached process
+    # can stall for minutes.  threefry is backend-identical, so the target
+    # sets are unchanged.
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        key = jax.random.PRNGKey(args.seed)
+        k1, k2 = jax.random.split(key)
+
+    # warm the device->host channel once, visibly, before any data work
+    warm_device("two_qubit")
+    _mark("building train targets")
     train_t = build_targets(k1, args.train_size, system.system,
                             mode=args.target_mode,
                             phase_augment=args.phase_augment,
                             edge_frac=args.edge_frac)
+    _mark("building eval targets")
     eval_t = build_targets(k2, args.eval_size, system.system,
                            mode=args.target_mode,
                            phase_augment=args.phase_augment,
@@ -241,6 +271,7 @@ def main(argv=None) -> None:
 
         train_x, eval_x = tokens_of(train_t), tokens_of(eval_t)
 
+    _mark("targets built")
     cfg = TrainConfig(
         monte_carlo=args.monte_carlo, batch_size=args.batch_size,
         epochs=args.num_epoch, learning_rate=args.learning_rate,
@@ -255,6 +286,7 @@ def main(argv=None) -> None:
     )
     trainer = Trainer(model, cfg, system=system)
 
+    _mark("init_params")
     params = trainer.init_params(train_x[:2])
     if args.restore:
         if args.restore.endswith(".npz"):
@@ -288,6 +320,7 @@ def main(argv=None) -> None:
         params = transfer_encoder_params(single_params, params, also=also)
         print(f"transferred encoder from {args.pretrained_single_qubit}")
 
+    _mark("entering train loop")
     curriculum = [CurriculumBand(float(d))
                   for d in args.curriculum.split(",") if d != ""]
 
@@ -296,7 +329,7 @@ def main(argv=None) -> None:
         params, history = trainer.train(
             train_x, train_t, eval_x, eval_t,
             curriculum=curriculum, params=params,
-            save_dir=args.save_path, logger=logger)
+            save_dir=args.save_path, logger=logger, resume=args.resume)
 
     best = max(b["best_fid"] for b in history["bands"])
     print(f"done; best eval fidelity across bands: {best:.4f}")

@@ -92,6 +92,9 @@ def robustness_curve(pulses, u_target, sigmas, monte_carlo, system,
 
 
 def main(argv=None) -> None:
+    from ..utils.device_warmup import warm_device
+
+    warm_device("two_qubit_grape")
     args = build_parser().parse_args(argv)
 
     if args.target_npz:
