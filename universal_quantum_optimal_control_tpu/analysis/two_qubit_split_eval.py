@@ -128,6 +128,17 @@ def main(argv=None) -> None:
           f"products_half={out['products']:.4f} kak_half={out['kak']:.4f} "
           f"blended={out['blended']:.4f}")
 
+    # time-budget readout (round 5): what total duration T = sum(tau) does
+    # the model actually use, and does the tau box bind?  The round-4
+    # calibrations showed sigma=0.4 GRAPE winners at T~62-139 vs the L=40
+    # model's 15.4 — this prints the distribution for any checkpoint.
+    tau = out["pulses"][..., -1]
+    T = tau.sum(axis=-1)
+    sat = float((tau > 0.5 - 0.005).mean())
+    print(f"duration T=sum(tau): mean={T.mean():.1f} p10={np.percentile(T, 10):.1f} "
+          f"p50={np.percentile(T, 50):.1f} p90={np.percentile(T, 90):.1f} "
+          f"max={T.max():.1f} tau_at_box_top={sat:.1%}")
+
     import os
 
     half = args.eval_size // 2
