@@ -38,6 +38,7 @@ for a in $(seq 0 "$maxr"); do
     ev "no warm sentinel after ${warm}s - kill + retry"
     kill "$pid" 2>/dev/null; sleep 5; kill -9 "$pid" 2>/dev/null
     wait "$pid" 2>/dev/null
+    sleep 15   # let the tunnel settle before re-rolling the connection
     continue
   fi
 

@@ -486,13 +486,14 @@ def test_kak_canonicalize_invariance_and_classes():
 
 @pytest.mark.artifacts
 def test_shipped_drive2_kak_model_serves_named_gates_robustly():
-    """The round-3 flagship two-qubit artifact (two_qubit_d2_kak.npz:
-    drive2 system, KAK-mixed training targets, kak_tokens featurization,
-    sigma=0.2 curriculum band) must serve the textbook edge-class gates —
-    the measured failure mode of the round-2 products-only model (CZ at
-    chance level 0.20; docs/two_qubit_results.md) — at high fidelity AND
-    above the chi-cross-talk ceiling at sigma=0.2 (analytic delta2 bound
-    0.654; crosstalk-only CZ GRAPE measured 0.479)."""
+    """The flagship two-qubit artifact (two_qubit_d2_kak.npz — the round-5
+    L=100 time-budget retrain: drive2 system, KAK-mixed training targets,
+    kak_tokens featurization, sigma=0.2 curriculum band) must serve the
+    textbook edge-class gates — the measured failure mode of the round-2
+    products-only model (CZ at chance level 0.20;
+    docs/two_qubit_results.md) — at high fidelity AND far above the
+    chi-cross-talk ceiling at sigma=0.2 (analytic delta2 bound 0.654;
+    crosstalk-only CZ GRAPE measured 0.479)."""
     from pathlib import Path
 
     from universal_quantum_optimal_control_tpu.optimizers.two_qubit_grape \
@@ -508,24 +509,25 @@ def test_shipped_drive2_kak_model_serves_named_gates_robustly():
     U = np.stack([gates[g] for g in ("cz", "cnot", "sqrt_swap")])
     packed = SU4System.pack_target(U)
     pulses = best_phase_pulses(str(path), U, system, drive2=True,
-                               kak_tokens=True, omega_min=0.05)
+                               kak_tokens=True, omega_min=0.05,
+                               max_pulses=100)
     table = eval_pulse_tables(pulses, packed, [0.0, 0.2],
                               monte_carlo=512, system=system)
-    # TPU reference (M=20000, 16k-chain weights): cz 0.9587/0.8892,
-    # cnot 0.9546/0.8905, sqrt_swap 0.9697/0.9112 — wide MC margin
-    assert table[:, 0].min() > 0.90, table
-    assert table[:, 1].min() > 0.80, table
+    # TPU reference (M=20000, L=100 weights): cz 0.9894/0.9679,
+    # cnot 0.9904/0.9648, sqrt_swap 0.9935/0.9656 — wide MC margin
+    assert table[:, 0].min() > 0.95, table
+    assert table[:, 1].min() > 0.90, table
 
 
 @pytest.mark.artifacts
 def test_shipped_s04_band_model_serves_deep_disorder():
-    """The sigma=0.4-band artifact (two_qubit_d2_kak_s04.npz — the 32k
-    chain's deep-disorder band since round 4; docs/two_qubit_results.md
-    §The 32k probe) must serve deep-disorder requests: at sigma=0.4 it
-    beats the 16k band it replaced on ALL FIVE named gates (TPU M=20000:
-    cz 0.7842 vs 0.7470, zz 0.8202 vs 0.8156, cnot 0.7061 vs 0.6727,
-    iswap 0.7121 vs 0.6099, sqrt_swap 0.7153 vs 0.6977), int8-encoded
-    (matched-draw |dE[F]| <= 2e-3)."""
+    """The sigma=0.4-band artifact (two_qubit_d2_kak_s04.npz — the round-5
+    L=100 chain's deep-disorder band; docs/two_qubit_results.md §Round 5)
+    must serve deep-disorder requests: at sigma=0.4 it beats the 32k L=40
+    band it replaced on ALL FIVE named gates (TPU M=20000: cz 0.8451 vs
+    0.7842, zz 0.8614 vs 0.8202, cnot 0.8386 vs 0.7061, iswap 0.7798 vs
+    0.7121, sqrt_swap 0.7945 vs 0.7153), int8-encoded (matched-draw
+    |dE[F]| <= 2e-3)."""
     from pathlib import Path
 
     from universal_quantum_optimal_control_tpu.optimizers.two_qubit_grape \
@@ -541,14 +543,14 @@ def test_shipped_s04_band_model_serves_deep_disorder():
     U = np.stack([gates[g] for g in ("cz", "cnot", "zz(pi/4)")])
     packed = SU4System.pack_target(U)
     pulses = best_phase_pulses(str(path), U, system, drive2=True,
-                               kak_tokens=True, omega_min=0.05)
+                               kak_tokens=True, omega_min=0.05,
+                               max_pulses=100)
     table = eval_pulse_tables(pulses, packed, [0.0, 0.4],
                               monte_carlo=512, system=system)
-    # shipped-artifact reference (CPU MC 512, matched key): sigma=0
-    # cz 0.8996 / cnot 0.8598 / zz 0.9163; sigma=0.4 cz 0.7875 /
-    # cnot 0.7080 / zz 0.8221 — thresholds leave wide MC margin
-    assert table[:, 0].min() > 0.75, table
-    assert table[:, 1].min() > 0.60, table
+    # shipped-artifact reference (TPU M=20000, L=100 weights): sigma=0.4
+    # cz 0.8451 / cnot 0.8386 / zz 0.8614 — thresholds leave MC margin
+    assert table[:, 0].min() > 0.85, table
+    assert table[:, 1].min() > 0.75, table
 
 
 @pytest.mark.artifacts

@@ -92,9 +92,13 @@ TWO_QUBIT_VARIANTS: Dict[str, Dict] = {
     # round-3 flagship: drive2 system + KAK-mixed targets + kak_tokens
     # featurization — named edge-class gates (CZ/CNOT/iSWAP) now serve at
     # high fidelity (docs/two_qubit_results.md §Named-gate coverage)
+    # round 5: the L=100 time-budget retrain (T ~ 30 vs the old L=40 trio's
+    # ~15) — blended 0.9510 at sigma=0.2 (was 0.8925), named gates
+    # 0.9582-0.9813 at sigma=0.2 (docs/two_qubit_results.md §Round 5)
     "two_qubit_d2_kak": {
         "checkpoint": str(_WEIGHTS_DIR / "two_qubit_d2_kak.npz"),
-        "drive2": True, "kak_tokens": True, "omega_min": 0.05},
+        "drive2": True, "kak_tokens": True, "omega_min": 0.05,
+        "max_pulses": 100},
     # exact-serving band of the flagship (sigma_delta=0-trained, 16k
     # targets): named gates 0.9912-0.9996 exact, blended 0.9867 over
     # arbitrary mixed targets — use for sigma < 0.05 requests
@@ -108,13 +112,15 @@ TWO_QUBIT_VARIANTS: Dict[str, Dict] = {
     # two_qubit_results.md §The 32k probe)
     "two_qubit_d2_kak_s04": {
         "checkpoint": str(_WEIGHTS_DIR / "two_qubit_d2_kak_s04.npz"),
-        "drive2": True, "kak_tokens": True, "omega_min": 0.05},
+        "drive2": True, "kak_tokens": True, "omega_min": 0.05,
+        "max_pulses": 100},
     # per-gate finetuned SU(4) tables (workloads/finetune_two_qubit_gates):
     # serves the polished/GRAPE table for named-gate requests, the flagship
     # model for everything else (the two-qubit analog of length_100_gates)
     "two_qubit_gates": {
         "checkpoint": str(_WEIGHTS_DIR / "two_qubit_d2_kak.npz"),
         "drive2": True, "kak_tokens": True, "omega_min": 0.05,
+        "max_pulses": 100,
         "gate_bundle": str(_WEIGHTS_DIR / "two_qubit_gates.npz")},
     "cz_robust": {"pulse_npz": str(_WEIGHTS_DIR / "cz_robust_pulse.npz")},
     # the dephasing-bound falsification pulse (direct drive on qubit 2)
@@ -174,7 +180,8 @@ def render_two_qubit_artifacts(variant: str, gate: str, out_dir: str,
 
             packed = SU4System.pack_target(u_target[None])
             model_kw = {k: spec[k] for k in
-                        ("drive2", "kak_features", "kak_tokens", "omega_min")
+                        ("drive2", "kak_features", "kak_tokens", "omega_min",
+                         "max_pulses", "d_model", "n_layers", "n_heads")
                         if k in spec}
             pulses = np.asarray(
                 model_gate_pulses(spec["checkpoint"], packed, **model_kw)[0])
