@@ -30,10 +30,13 @@ bash $SUP tq12L_b2 360 900 10 -- python -u -m universal_quantum_optimal_control_
 log "END tq12L_b2 rc=$?"
 
 log "START dump02"
+# calibration percentile targets are defined on the ROUND-4 L=40 flagship's
+# per-target distribution (recovered from git history: the shipped npz is
+# the L=100 retrain since round 5) — VERDICT item 3 widens THAT calibration
 bash $SUP dump02 360 900 10 -- python -u -m universal_quantum_optimal_control_tpu.analysis.two_qubit_split_eval \
-  $W/two_qubit_d2_kak.npz --sigma 0.2 --drive2 --kak_tokens --omega_min 0.05 \
-  --dump_kak_percentiles 1,5,25,50 --dump_dir runs/kak_targets \
-  --per_target_csv runs/flagship_per_target_s02.csv --channels_worst_decile
+  runs/old_flagship_l40.npz --sigma 0.2 --drive2 --kak_tokens --omega_min 0.05 \
+  --max_pulses 40 --dump_kak_percentiles 1,5,25,50 --dump_dir runs/kak_targets \
+  --per_target_csv runs/flagship_l40_per_target_s02.csv --channels_worst_decile
 log "END dump02 rc=$?"
 
 for nb in 20 10; do
