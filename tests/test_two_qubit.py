@@ -597,7 +597,8 @@ def test_split_eval_cli_reports_halves():
             / "universal_quantum_optimal_control_tpu" / "demo" / "weights"
             / "two_qubit_d2_kak.npz")
     out = split_eval(str(path), sigma=0.0, monte_carlo=4, eval_size=16,
-                     chunk=8, drive2=True, kak_tokens=True, omega_min=0.05)
+                     chunk=8, drive2=True, kak_tokens=True, omega_min=0.05,
+                     max_pulses=100)  # the round-5 L=100 flagship
     assert set(out) == {"products", "kak", "blended", "per_target",
                         "targets", "pulses"}
     assert 0.0 < out["kak"] <= 1.001 and 0.0 < out["products"] <= 1.001

@@ -98,7 +98,7 @@ def rotation_budget(T, rate: float):
 
 def _model_pulses(checkpoint: str, n_targets: int, seed: int,
                   drive2: bool = False, kak_tokens: bool = False,
-                  omega_min: float = 0.0):
+                  omega_min: float = 0.0, max_pulses: int = 100):
     from ..workloads.two_qubit import build_targets
     from ..workloads.two_qubit_eval import model_gate_pulses
 
@@ -107,7 +107,8 @@ def _model_pulses(checkpoint: str, n_targets: int, seed: int,
                             system.system,
                             mode="mixed" if drive2 else "products")
     pulses = model_gate_pulses(checkpoint, targets, drive2=drive2,
-                               kak_tokens=kak_tokens, omega_min=omega_min)
+                               kak_tokens=kak_tokens, omega_min=omega_min,
+                               max_pulses=max_pulses)
     return pulses, targets
 
 
@@ -228,6 +229,9 @@ def build_parser():
                         "Orbax dir:tag); the default is the drive2+KAK "
                         "flagship — pass --no-drive2 checkpoints with "
                         "matching flags")
+    p.add_argument("--max_pulses", type=int, default=100,
+                   help="checkpoint pulse-sequence length (the shipped "
+                        "flagship is L=100 since round 5)")
     p.add_argument("--cz", default=str(_WEIGHTS / "cz_robust_pulse.npz"),
                    help="cross-talk-only GRAPE pulse for the ORIGINAL "
                         "(binding) bound section")
@@ -259,7 +263,8 @@ def main(argv=None):
             system = SU4System(drive2=True)
             pulses, targets = _model_pulses(
                 args.checkpoint, args.n_targets, args.seed, drive2=True,
-                kak_tokens=True, omega_min=args.omega_min)
+                kak_tokens=True, omega_min=args.omega_min,
+                max_pulses=args.max_pulses)
             rows, T, ob = measure_channels(pulses, targets, sigmas,
                                            system=system,
                                            monte_carlo=args.monte_carlo)
@@ -269,7 +274,8 @@ def main(argv=None):
                 system.system.xtalk))
         else:
             pulses, targets = _model_pulses(args.checkpoint, args.n_targets,
-                                            args.seed)
+                                            args.seed,
+                                            max_pulses=args.max_pulses)
             rows, T, T_eff, ob = measure(pulses, targets, sigmas,
                                          monte_carlo=args.monte_carlo)
             sections.append(_render(

@@ -176,6 +176,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grape_starts", type=int, default=16)
     p.add_argument("--grape_steps", type=int, default=2000)
     # flagship model featurization (two_qubit_d2_kak.npz training config)
+    p.add_argument("--max_pulses", type=int, default=100,
+                   help="checkpoint pulse-sequence length (the shipped "
+                        "flagship is L=100 since round 5)")
     p.add_argument("--omega_min", type=float, default=0.05)
     p.add_argument("--kak_tokens", action=argparse.BooleanOptionalAction,
                    default=True)
@@ -203,7 +206,8 @@ def main(argv=None) -> None:
 
     pulses0 = best_phase_pulses(
         args.checkpoint, U, eval_system, drive2=True,
-        kak_tokens=args.kak_tokens, omega_min=args.omega_min)
+        kak_tokens=args.kak_tokens, omega_min=args.omega_min,
+        max_pulses=args.max_pulses)
     f_model = eval_pulse_tables(pulses0, packed, sigmas,
                                 monte_carlo=args.eval_mc,
                                 epsilon_std=args.epsilon_std,

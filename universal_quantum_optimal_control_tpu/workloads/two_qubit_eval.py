@@ -153,9 +153,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the markdown table here as well")
     p.add_argument("--save_pulses", default=None,
                    help="write per-gate model pulse tables to this .npz")
-    p.add_argument("--max_pulses", type=int, default=40,
-                   help="checkpoint's pulse-sequence length (the shipped "
-                        "trio is L=40; the round-5 time-budget runs L=100)")
+    p.add_argument("--max_pulses", type=int, default=100,
+                   help="checkpoint's pulse-sequence length (default matches "
+                        "the shipped L=100 flagship; pass 40 for the L=40 "
+                        "artifacts, e.g. two_qubit_d2_kak_s0.npz)")
     p.add_argument("--d_model", type=int, default=512)
     p.add_argument("--n_layers", type=int, default=8)
     p.add_argument("--n_heads", type=int, default=16)
