@@ -91,7 +91,9 @@ def main(argv=None) -> None:
     p.add_argument("--seed", type=int, default=0,
                    help="trainer seed whose eval split to reproduce")
     p.add_argument("--epsilon_std", type=float, default=0.05)
-    p.add_argument("--max_pulses", type=int, default=40)
+    p.add_argument("--max_pulses", type=int, default=100,
+                   help="checkpoint pulse-sequence length (default matches "
+                        "the shipped L=100 flagship; pass 40 for L=40 runs)")
     p.add_argument("--d_model", type=int, default=512)
     p.add_argument("--n_layers", type=int, default=8)
     p.add_argument("--n_heads", type=int, default=16)
